@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core of the operator inventory (SURVEY.md §2.3–§2.6) expressed
+  * over the synthetic star schema, each with a DuckDB oracle.
+  *
+  * Scale notes (the queries run unchanged on a 1000-executor cluster):
+  *  - dimension tables (region/nation/customer/part/supplier) are broadcast —
+  *    no shuffle on the fact side of those joins;
+  *  - every aggregate is a partial (map-side combine) hash aggregate;
+  *  - doubles that cross the oracle boundary are rounded in BOTH engines so
+  *    summation-order ulp noise can't flip the hash.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1/A10 — pricing summary (TPC-H Q1 shape): filter → partial agg → final.
+    * Ref: merge counters orion/kgx_file_writer.py:27-30. */
+  private val q01: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1996-06-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-06-01'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  /** J1/J7 — multi-way equi-join (TPC-H Q5 shape): two broadcast dims +
+    * fact-fact shuffle join, revenue per region. */
+  private val q02: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q02Sql =
+    """SELECT r_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  /** J3/P4 — broadcast dimension lookup + string projection: revenue per
+    * leading word of p_type (predicate-remap shape,
+    * ref orion/predicates.py:6-56). */
+  private val q03: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p  = Tables.part(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("type_class", split(col("p_type"), " ").getItem(0))
+      .groupBy(col("type_class"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+           count(lit(1)).as("n"))
+      .orderBy(col("type_class"))
+  }
+
+  private val q03Sql =
+    """SELECT split_part(p_type, ' ', 1) AS type_class,
+       round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1 ORDER BY 1"""
+
+  /** J4/J5 — left-semi join (connected-node subset shape,
+    * ref orion/kgx_file_normalizer.py:419-439). */
+  private val q04: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q04Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY c_custkey"""
+
+  /** U3 — left-anti join (unconnected-node removal complement,
+    * ref orion/kgx_file_normalizer.py:419-439): customers with no urgent
+    * order, counted per segment. */
+  private val q05: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_unconnected"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q05Sql =
+    """SELECT c_mktsegment, count(*) AS n_unconnected FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** K1/J8 — exact dedup with deterministic canonical pick (dedup-on-write,
+    * ref orion/kgx_file_writer.py:64-69): group by content hash, min id wins. */
+  private val q06: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("content_key", md5(lower(col("text"))))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .orderBy(col("canonical_id"))
+  }
+
+  private val q06Sql =
+    """SELECT md5(lower(text)) AS content_key,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 HAVING count(*) >= 1 ORDER BY canonical_id"""
+
+  /** U1/A8 — union of heterogeneous sources then aggregate
+    * (dont_merge append shape, ref orion/kgx_file_merger.py:164-172). */
+  private val q07: Q = (s, dir) => {
+    val r = Tables.region(s, dir).select(lit("region").as("src"), col("r_name").as("name"))
+    val n = Tables.nation(s, dir).select(lit("nation").as("src"), col("n_name").as("name"))
+    r.unionByName(n)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+      .orderBy(col("src"))
+  }
+
+  private val q07Sql =
+    """SELECT src, count(*) AS n, min(name) AS first_name FROM (
+         SELECT 'region' AS src, r_name AS name FROM region
+         UNION ALL
+         SELECT 'nation' AS src, n_name AS name FROM nation)
+       GROUP BY src ORDER BY src"""
+
+  /** P1 — multi-predicate fan-out via explode of an inline struct array
+    * (extractor fan-out, ref orion/extractor.py:113-147). */
+  private val q08: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .select(explode(array(
+        struct(lit("status").as("kind"), col("o_orderstatus").as("value")),
+        struct(lit("priority").as("kind"), col("o_orderpriority").as("value")))).as("kv"))
+      .select(col("kv.kind").as("kind"), col("kv.value").as("value"))
+      .groupBy(col("kind"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("value"))
+  }
+
+  private val q08Sql =
+    """SELECT kind, value, count(*) AS n FROM (
+         SELECT 'status' AS kind, o_orderstatus AS value FROM orders
+         UNION ALL
+         SELECT 'priority' AS kind, o_orderpriority AS value FROM orders)
+       GROUP BY kind, value ORDER BY kind, value"""
+
+  /** Window top-k per group (scale op beyond the reference; the shuffle is
+    * one hash partition by c_custkey, no global sort). */
+  private val q09: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val q09Sql =
+    """SELECT o_custkey, o_orderkey, rk, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+         FROM orders) WHERE rk <= 3
+       ORDER BY o_custkey, rk"""
+
+  /** A9 — grouped evidence vote (CTD chem→disease predicate vote shape,
+    * ref parsers/CTD/src/loadCTD.py:304-471,547-587): count evidence classes
+    * per key, ratio ladder picks a label, union the evidence list. */
+  private val q10: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("evidence_types"))
+      .withColumn("verdict",
+        when(col("n_click") > col("n_error") * 2, "clicky")
+          .when(col("n_error") > col("n_click") * 2, "errory")
+          .otherwise("mixed"))
+      .select(col("user_id"), col("n_click"), col("n_error"), col("verdict"), col("evidence_types"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q10Sql =
+    """SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2 THEN 'clicky'
+            WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 2 THEN 'errory'
+            ELSE 'mixed' END AS verdict,
+       list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',') AS evidence_types
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Time-bucketed aggregation (batch twin of the Structured Streaming
+    * windowed agg in graft.streaming). */
+  private val q11: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val q11Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** N5/P7 — conditional edge inversion: swap subject/object when the
+    * predicate was inverted (ref orion/kgx_file_normalizer.py:404-413). */
+  private val q12: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(
+        when(col("l_returnflag") === "R", concat(lit("SUPP:"), col("l_suppkey")))
+          .otherwise(concat(lit("PART:"), col("l_partkey"))).as("subject"),
+        when(col("l_returnflag") === "R", lit("supplied_returned"))
+          .otherwise(lit("ships_part")).as("predicate"),
+        when(col("l_returnflag") === "R", concat(lit("PART:"), col("l_partkey")))
+          .otherwise(concat(lit("SUPP:"), col("l_suppkey"))).as("object"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q12Sql =
+    """SELECT
+       CASE WHEN l_returnflag = 'R' THEN 'SUPP:' || l_suppkey ELSE 'PART:' || l_partkey END AS subject,
+       CASE WHEN l_returnflag = 'R' THEN 'supplied_returned' ELSE 'ships_part' END AS predicate,
+       CASE WHEN l_returnflag = 'R' THEN 'PART:' || l_partkey ELSE 'SUPP:' || l_suppkey END AS object,
+       l_orderkey, l_linenumber
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary"        -> q01,
+    "q02_region_revenue"         -> q02,
+    "q03_broadcast_type_share"   -> q03,
+    "q04_semi_join_connected"    -> q04,
+    "q05_anti_join_unconnected"  -> q05,
+    "q06_dedup_exact"            -> q06,
+    "q07_union_sources"          -> q07,
+    "q08_fanout_explode"         -> q08,
+    "q09_topk_per_group"         -> q09,
+    "q10_grouped_evidence_vote"  -> q10,
+    "q11_hourly_rollup"          -> q11,
+    "q12_edge_inversion"         -> q12,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"        -> q01Sql,
+    "q02_region_revenue"         -> q02Sql,
+    "q03_broadcast_type_share"   -> q03Sql,
+    "q04_semi_join_connected"    -> q04Sql,
+    "q05_anti_join_unconnected"  -> q05Sql,
+    "q06_dedup_exact"            -> q06Sql,
+    "q07_union_sources"          -> q07Sql,
+    "q08_fanout_explode"         -> q08Sql,
+    "q09_topk_per_group"         -> q09Sql,
+    "q10_grouped_evidence_vote"  -> q10Sql,
+    "q11_hourly_rollup"          -> q11Sql,
+    "q12_edge_inversion"         -> q12Sql,
+  )
+}
