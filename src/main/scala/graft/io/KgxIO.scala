@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KGX jsonl bundle I/O (SURVEY §2.1 S1, §2.2 K1/K2).
+  *
+  * Reference: stream-parsed jsonl (orion/utils.py:468-475), dedup-on-write
+  * via an in-memory id set (orion/kgx_file_writer.py:64-93), gzip bundles
+  * (orion/kgx_bundle.py:75-102). Spark-first: `spark.read.json` (gz is
+  * transparent, splittable parquet for intermediates), `dropDuplicates`
+  * replaces the RAM-bound id set, compression is a writer option.
+  */
+object KgxIO {
+
+  /** S1 — read one or more KGX jsonl(.gz) file sets with per-file schema
+    * inference unioned by name (SURVEY §1.2 strategy (a)). */
+  def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "no input files")
+    paths.map(p => spark.read.json(p))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** K1 — dedup-on-write counters: (distinct entities, repeats dropped). */
+  def repeatCount(df: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val agg = df.agg(count(lit(1)).as("n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("d")).head()
+    val (n, d) = (agg.getLong(0), agg.getLong(1))
+    (d, n - d)
+  }
+
+  /** K1/K2 — write a node or edge DataFrame as KGX jsonl, optionally
+    * gzipped, dropping duplicate ids like the reference writer. Output is a
+    * directory of part files (the scalable layout); use writeSingleFile for
+    * byte-compatible single-file bundles. */
+  def writeJsonl(df: DataFrame, path: String, dedupKeys: Seq[String] = Seq("id"),
+                 gzip: Boolean = true): Unit = {
+    val deduped =
+      if (dedupKeys.nonEmpty && dedupKeys.forall(df.columns.contains)) df.dropDuplicates(dedupKeys)
+      else df
+    val w = deduped.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "true")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** Single-file jsonl[.gz] for KGX bundle compatibility (coalesce(1) —
+    * only for final export, never intermediates). */
+  def writeSingleFile(df: DataFrame, file: String, gzip: Boolean = true): Unit = {
+    val tmp = file + ".spark-tmp"
+    writeJsonl(df.coalesce(1), tmp, dedupKeys = Nil, gzip = gzip)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(f => f.getName.startsWith("part-")).get
+    val dest = new java.io.File(file)
+    if (dest.exists()) dest.delete()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
+  /** Parquet intermediates (columnar, splittable — SURVEY §1.3). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,98 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Biolink
+
+/** Source-level merge strategies (SURVEY §2.5 A4-A8, §2.4 J4).
+  * Reference: orion/kgx_file_merger.py:37-213.
+  */
+object GraphMerger {
+
+  final case class SourceGraph(sourceId: String, nodes: DataFrame, edges: DataFrame,
+                               mergeStrategy: String = "default")
+
+  final case class MergedGraph(nodes: DataFrame, edges: DataFrame,
+                               mergedNodeCount: Long, mergedEdgeCount: Long)
+
+  private def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** U1+A1-A3 — merge the primary sources: union, ordinal-tag in source
+    * order, property-merge nodes by id and edges by composite key. */
+  def mergePrimary(sources: Seq[SourceGraph],
+                   edgeMergingAttributes: Seq[String] = Nil,
+                   counters: Option[MergeEngine.MergeCounters] = None): MergedGraph = {
+    val nodes = unionAll(MergeEngine.withOrdinal(sources.map(_.nodes)))
+    val edges = unionAll(MergeEngine.withOrdinal(sources.map(_.edges)))
+    val mn = MergeEngine.mergeNodes(nodes, counters).cache()
+    val me = MergeEngine.mergeEdges(edges, edgeMergingAttributes, counters).cache()
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val nMergedNodes = mn.agg(fsum("nMerged")).head().getLong(0)
+    val nMergedEdges = me.agg(fsum("nMerged")).head().getLong(0)
+    MergedGraph(MergeEngine.jsonToDf(mn), MergeEngine.jsonToDf(me), nMergedNodes, nMergedEdges)
+  }
+
+  /** J4 — connected_edge_subset: keep a secondary source's edges only when
+    * subject OR object is already in the primary node-id set; backfill the
+    * dangling endpoints' nodes (ref orion/kgx_file_merger.py:127-162).
+    *
+    * Scale shape: the primary id set can be huge, so this is expressed as
+    * joins (AQE may still broadcast when small), not a collected set. The
+    * OR-semi-join is a left join against the distinct id set on each
+    * endpoint with null-flag filtering — one shuffle per endpoint, no
+    * row explosion (ids are distinct).
+    */
+  def connectedEdgeSubset(primaryNodeIds: DataFrame, // single column "id"
+                          secondary: SourceGraph): (DataFrame, DataFrame) = {
+    val ids = primaryNodeIds.select(col("id")).distinct()
+    val e = secondary.edges
+    val subjHit = ids.withColumnRenamed("id", "_subj_hit")
+    val objHit = ids.withColumnRenamed("id", "_obj_hit")
+    val flagged = e
+      .join(subjHit, e(Biolink.Subject) === subjHit("_subj_hit"), "left")
+      .join(objHit, e(Biolink.Object_) === objHit("_obj_hit"), "left")
+    val kept = flagged
+      .filter(col("_subj_hit").isNotNull || col("_obj_hit").isNotNull)
+      .drop("_subj_hit", "_obj_hit")
+    // endpoints of kept edges that the primary graph lacks → backfill nodes
+    val keptEndpoints = kept.select(explode(array(col(Biolink.Subject), col(Biolink.Object_))).as("id")).distinct()
+    val missing = keptEndpoints.join(ids, Seq("id"), "left_anti")
+    val nodesToAdd = secondary.nodes.join(missing, Seq("id"), "left_semi")
+    (nodesToAdd, kept)
+  }
+
+  /** A8 — dont_merge: nodes participate in the node merge, edge files are
+    * appended verbatim (ref orion/kgx_file_merger.py:164-172). */
+  def mergeGraph(primary: Seq[SourceGraph],
+                 secondary: Seq[SourceGraph] = Nil,
+                 dontMerge: Seq[SourceGraph] = Nil,
+                 edgeMergingAttributes: Seq[String] = Nil,
+                 counters: Option[MergeEngine.MergeCounters] = None): MergedGraph = {
+    val base = mergePrimary(primary, edgeMergingAttributes, counters)
+    var nodes = base.nodes
+    var edges = base.edges
+    secondary.foreach { sg =>
+      val (addNodes, addEdges) = connectedEdgeSubset(nodes.select("id"), sg)
+      nodes = nodes.unionByName(addNodes, allowMissingColumns = true)
+      edges = edges.unionByName(addEdges, allowMissingColumns = true)
+    }
+    dontMerge.foreach { sg =>
+      nodes = nodes.unionByName(sg.nodes, allowMissingColumns = true)
+      edges = edges.unionByName(sg.edges, allowMissingColumns = true)
+    }
+    // dont_merge / secondary node additions still dedup on id (first wins)
+    if (secondary.nonEmpty || dontMerge.nonEmpty)
+      nodes = nodes.dropDuplicates("id")
+    base.copy(nodes = nodes, edges = edges)
+  }
+
+  /** J5 — remove nodes not referenced by any edge
+    * (ref orion/kgx_file_normalizer.py:419-439). */
+  def removeUnconnectedNodes(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val referenced = edges
+      .select(explode(array(col(Biolink.Subject), col(Biolink.Object_))).as("id"))
+      .distinct()
+    nodes.join(referenced, Seq("id"), "left_semi")
+  }
+}
