@@ -1,0 +1,170 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Biolink
+
+/** Normalization plane (SURVEY §2.7 N1-N9, §2.4 J1-J3).
+  *
+  * The reference calls external REST services (NodeNorm/EdgeNorm) in 5k-curie
+  * batches and applies the responses row-at-a-time
+  * (orion/normalization.py:134-317, orion/kgx_file_normalizer.py:226-364).
+  * Spark-first: the service responses become *normalization map DataFrames*
+  * (in production: fetched once for the distinct curie set via mapPartitions
+  * and snapshotted for reproducibility — SURVEY §7.5 risk 4; in this
+  * zero-egress sandbox: fixture-backed), and application is joins:
+  *
+  *   J1 node-map equi-join · J2 1→N split explode · J3 broadcast predicate
+  *   join · N5 inversion column swap · N6 self-loop filter · N7 default
+  *   provenance · N8 original id retention.
+  *
+  * Scale: the node map is distinct-curie-sized (≪ edges); Spark broadcasts
+  * it when small and shuffle-joins when not — both endpoint joins hash on
+  * the same edge rows so AQE pipelines them.
+  */
+object Normalizer {
+
+  /** nodeMap schema: orig_id string, norm_id string, name string,
+    * category array<string>, equivalent_identifiers array<string>,
+    * information_content double. 1→N splits = multiple rows per orig_id. */
+  final case class NodeNormEntry(
+      orig_id: String, norm_id: String, name: String = null,
+      category: Seq[String] = Seq(Biolink.NamedThing),
+      equivalent_identifiers: Seq[String] = Nil,
+      information_content: Option[Double] = None)
+
+  /** predicate map entry (ref orion/normalization.py:400-517); fallback for
+    * unresolved predicates is biolink:related_to. */
+  final case class PredicateNormEntry(
+      orig_predicate: String, predicate: String, inverted: Boolean = false)
+
+  final case class NodeNormStats(preNorm: Long, postNorm: Long, failures: Long)
+  final case class EdgeNormStats(
+      sourceEdges: Long, normalizedEdges: Long, edgeSplits: Long,
+      edgesFailedDueToNodes: Long, subclassLoopsRemoved: Long)
+
+  def nodeMapDf(spark: SparkSession, entries: Seq[NodeNormEntry]): DataFrame = {
+    import spark.implicits._
+    entries.toDF()
+  }
+
+  def predicateMapDf(spark: SparkSession, entries: Seq[PredicateNormEntry]): DataFrame = {
+    import spark.implicits._
+    entries.toDF()
+  }
+
+  /** N1/N2 — apply node normalization: rewrite id/name/category/
+    * equivalent_identifiers/information_content from the map. strict drops
+    * nodes that missed (ref orion/normalization.py:225-317); lenient keeps
+    * the original row. Splits (1→N) fan out to N nodes; duplicate normalized
+    * ids collapse (first wins, like dedup-on-write). */
+  def normalizeNodes(nodes: DataFrame, nodeMap: DataFrame,
+                     strict: Boolean = true): (DataFrame, NodeNormStats) = {
+    val preNorm = nodes.count()
+    val m = nodeMap.withColumnRenamed("name", "_norm_name")
+    val joined = nodes.join(m, nodes("id") === m("orig_id"),
+      if (strict) "inner" else "left")
+    val applied = joined
+      .withColumn("_final_id", coalesce(col("norm_id"), col("id")))
+      .withColumn("_final_name",
+        coalesce(col("_norm_name"), nodes("name"),
+          regexp_replace(col("_final_id"), "^.*:", "")))
+      .withColumn("_final_cat",
+        coalesce(m("category"), nodes.columns.find(_ == "category").map(_ => nodes("category"))
+          .getOrElse(lit(null)), array(lit(Biolink.NamedThing))))
+    val passthrough = nodes.columns
+      .filterNot(Set("id", "name", "category", "equivalent_identifiers", "information_content"))
+      .map(c => nodes(c))
+    val out = applied.select(Seq(
+        col("_final_id").as("id"),
+        col("_final_name").as("name"),
+        col("_final_cat").as("category"),
+        m("equivalent_identifiers"),
+        m("information_content")) ++ passthrough: _*)
+      .dropDuplicates("id")
+    val postNorm = out.count()
+    val failures = if (strict)
+      nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
+    else 0L
+    (out, NodeNormStats(preNorm, postNorm, failures))
+  }
+
+  /** N5 — invert an edge: swap every *subject*↔*object* column
+    * (ref orion/kgx_file_normalizer.py:404-413: invert_edge). The reference
+    * renames dict keys, so the output schema is the union of the payload
+    * columns and their swapped names — a static select per branch. */
+  private def swappedName(name: String): String =
+    if (name.contains("subject")) name.replace("subject", "object")
+    else if (name.contains("object")) name.replace("object", "subject")
+    else name
+
+  /** J1+J2+J3+N5-N8 — full edge normalization. */
+  def normalizeEdges(edges: DataFrame, nodeMap: DataFrame, predicateMap: DataFrame,
+                     defaultProvenance: String): (DataFrame, EdgeNormStats) = {
+    val sourceEdges = edges.count()
+    val withOrd = edges.withColumn("_src_edge_id", monotonically_increasing_id())
+
+    // J1/J2: subject then object endpoint joins; inner = failed endpoints drop
+    val subjMap = nodeMap.select(col("orig_id").as("_s_orig"), col("norm_id").as("_s_norm"))
+    val objMap = nodeMap.select(col("orig_id").as("_o_orig"), col("norm_id").as("_o_norm"))
+    val joined = withOrd
+      .join(subjMap, col(Biolink.Subject) === col("_s_orig"))
+      .join(objMap, col(Biolink.Object_) === col("_o_orig"))
+    val edgesFailedDueToNodes = sourceEdges - joined.select("_src_edge_id").distinct().count()
+
+    // J3: broadcast predicate normalization with related_to fallback
+    val pm = predicateMap.select(col("orig_predicate"),
+      col("predicate").as("_norm_pred"), col("inverted").as("_inverted"))
+    val predApplied = joined
+      .join(broadcast(pm), col(Biolink.Predicate) === col("orig_predicate"), "left")
+      .withColumn("_norm_pred", coalesce(col("_norm_pred"), lit(Biolink.RelatedTo)))
+      .withColumn("_inverted", coalesce(col("_inverted"), lit(false)))
+
+    // N7/N8: provenance default + original id retention, then id rewrite
+    val hasPks = edges.columns.contains(Biolink.PrimaryKnowledgeSource)
+    val hasSources = edges.columns.contains(Biolink.Sources)
+    val pksCol =
+      if (hasPks && hasSources) coalesce(col(Biolink.PrimaryKnowledgeSource), when(col(Biolink.Sources).isNull, lit(defaultProvenance)))
+      else if (hasPks) coalesce(col(Biolink.PrimaryKnowledgeSource), lit(defaultProvenance))
+      else if (hasSources) when(col(Biolink.Sources).isNull, lit(defaultProvenance))
+      else lit(defaultProvenance)
+    val rewritten = predApplied
+      .withColumn("original_subject", col(Biolink.Subject))
+      .withColumn("original_object", col(Biolink.Object_))
+      .withColumn(Biolink.Subject, col("_s_norm"))
+      .withColumn(Biolink.Object_, col("_o_norm"))
+      .withColumn(Biolink.Predicate, col("_norm_pred"))
+      .withColumn(Biolink.PrimaryKnowledgeSource, pksCol)
+
+    // N6: subclass self-loop removal (post-normalization ids)
+    val loops = rewritten.filter(
+      col(Biolink.Predicate) === Biolink.SubclassOf &&
+      col(Biolink.Subject) === col(Biolink.Object_))
+    val subclassLoopsRemoved = loops.count()
+    val kept = rewritten.filter(
+      !(col(Biolink.Predicate) === Biolink.SubclassOf &&
+        col(Biolink.Subject) === col(Biolink.Object_)))
+
+    // N5: inversion — swap *subject*↔*object* columns where inverted
+    val payloadCols = kept.columns.filter(c =>
+      (!c.startsWith("_") && c != "orig_predicate") || c == "_src_edge_id").toSeq
+    val allCols = payloadCols ++ payloadCols.map(swappedName).filterNot(payloadCols.contains)
+    val straight = kept.filter(!col("_inverted"))
+      .select(allCols.map(c => (if (payloadCols.contains(c)) col(c) else lit(null)).as(c)): _*)
+    val inverted = kept.filter(col("_inverted"))
+      .select(allCols.map { c =>
+        val src = swappedName(c)
+        (if (payloadCols.contains(src)) col(src) else lit(null)).as(c)
+      }: _*)
+    val result = straight.unionByName(inverted)
+
+    val perSource = result.groupBy(col("_src_edge_id")).count()
+    val edgeSplits = perSource.agg(sum(greatest(col("count") - 1, lit(0)))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    (result.drop("_src_edge_id"),
+      EdgeNormStats(sourceEdges, result.count(), edgeSplits,
+        edgesFailedDueToNodes, subclassLoopsRemoved))
+  }
+}

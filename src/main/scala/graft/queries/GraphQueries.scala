@@ -285,6 +285,75 @@ object GraphQueries {
          WHERE 'N:' || (p_partkey % 50) <> 'N:' || (p_size % 50))
        GROUP BY object ORDER BY object"""
 
+  /** N1-N8 via the real Normalizer module: suppliers live in nations; nation
+    * curies normalize to regions (region 0 splits 1→2); 'contains' edges are
+    * inverted to located_in. Exercises endpoint joins, split explode,
+    * predicate broadcast join, inversion swap, default provenance, original
+    * id retention — with a full SQL oracle. */
+  private val q29: Q = (s, dir) => {
+    import graft.normalize.Normalizer._
+    val n = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val identity = sup.select(
+      concat(lit("SUPP:"), col("s_suppkey")).as("orig_id"),
+      concat(lit("SUPP:"), col("s_suppkey")).as("norm_id"))
+    val nationMap = n.select(col("n_nationkey"), col("n_regionkey"))
+      .select(concat(lit("NATION:"), col("n_nationkey")).as("orig_id"),
+        explode(when(col("n_regionkey") === 0,
+          array(concat(lit("REGION:"), col("n_regionkey")),
+                concat(lit("RSPLIT:"), col("n_regionkey"))))
+          .otherwise(array(concat(lit("REGION:"), col("n_regionkey"))))).as("norm_id"))
+    val nodeMap = identity.unionByName(nationMap)
+      .withColumn("name", lit(null).cast("string"))
+      .withColumn("category", array(lit("biolink:NamedThing")))
+      .withColumn("equivalent_identifiers", array().cast("array<string>"))
+      .withColumn("information_content", lit(null).cast("double"))
+    val predMap = predicateMapDf(s, Seq(
+      PredicateNormEntry("located_in", "biolink:located_in"),
+      PredicateNormEntry("contains", "biolink:located_in", inverted = true)))
+    val edges = sup.select(
+      when(col("s_suppkey") % 2 === 0, concat(lit("SUPP:"), col("s_suppkey")))
+        .otherwise(concat(lit("NATION:"), col("s_nationkey"))).as(Biolink.Subject),
+      when(col("s_suppkey") % 2 === 0, lit("located_in")).otherwise(lit("contains")).as(Biolink.Predicate),
+      when(col("s_suppkey") % 2 === 0, concat(lit("NATION:"), col("s_nationkey")))
+        .otherwise(concat(lit("SUPP:"), col("s_suppkey"))).as(Biolink.Object_))
+    val (out, _) = normalizeEdges(edges, nodeMap, predMap, "infores:synth")
+    out.select(col("subject"), col("predicate"), col("object"),
+        col("original_subject"), col("original_object"), col("primary_knowledge_source"))
+      .orderBy(col("subject"), col("object"), col("original_subject"))
+  }
+
+  private val q29Sql =
+    """WITH nation_norm AS (
+         SELECT 'NATION:' || n_nationkey AS orig,
+                unnest(CASE WHEN n_regionkey = 0
+                       THEN ['REGION:' || n_regionkey, 'RSPLIT:' || n_regionkey]
+                       ELSE ['REGION:' || n_regionkey] END) AS norm
+         FROM nation),
+       edges AS (
+         SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'SUPP:' || s_suppkey ELSE 'NATION:' || s_nationkey END AS subject,
+                CASE WHEN s_suppkey % 2 = 0 THEN 'located_in' ELSE 'contains' END AS predicate,
+                CASE WHEN s_suppkey % 2 = 0 THEN 'NATION:' || s_nationkey ELSE 'SUPP:' || s_suppkey END AS object,
+                s_suppkey % 2 <> 0 AS inverted
+         FROM supplier),
+       normed AS (
+         SELECT CASE WHEN subject LIKE 'NATION:%' THEN nn1.norm ELSE subject END AS subj_norm,
+                CASE WHEN object LIKE 'NATION:%' THEN nn2.norm ELSE object END AS obj_norm,
+                subject AS orig_subj, object AS orig_obj, inverted
+         FROM edges
+         LEFT JOIN nation_norm nn1 ON subject = nn1.orig
+         LEFT JOIN nation_norm nn2 ON object = nn2.orig
+         WHERE (subject NOT LIKE 'NATION:%' OR nn1.norm IS NOT NULL)
+           AND (object NOT LIKE 'NATION:%' OR nn2.norm IS NOT NULL))
+       SELECT CASE WHEN inverted THEN obj_norm ELSE subj_norm END AS subject,
+              'biolink:located_in' AS predicate,
+              CASE WHEN inverted THEN subj_norm ELSE obj_norm END AS object,
+              CASE WHEN inverted THEN orig_obj ELSE orig_subj END AS original_subject,
+              CASE WHEN inverted THEN orig_subj ELSE orig_obj END AS original_object,
+              'infores:synth' AS primary_knowledge_source
+       FROM normed
+       ORDER BY subject, object, original_subject"""
+
   val defs: Map[String, Q] = Map(
     "q20_kgx_node_merge"        -> q20,
     "q21_edge_merge_key"        -> q21,
@@ -295,9 +364,11 @@ object GraphQueries {
     "q26_qc_breakdown"          -> q26,
     "q27_ac_links"              -> q27,
     "q28_norm_cleanup"          -> q28,
+    "q29_normalize_edges"       -> q29,
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_normalize_edges"       -> q29Sql,
     "q20_kgx_node_merge"        -> q20Sql,
     "q21_edge_merge_key"        -> q21Sql,
     "q22_norm_split_join"       -> q22Sql,

@@ -1,0 +1,113 @@
+package graft.normalize
+
+import graft.SparkSpec
+import graft.normalize.Normalizer._
+
+/** Mirrors the reference normalizer tests with canned service responses
+  * (/root/reference/tests/test_kgx_file_normalizer.py:11-80): splits,
+  * inversion, failure counts, subclass self-loop removal. */
+class NormalizerSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val nodeMap = nodeMapDf(spark, Seq(
+    NodeNormEntry("HGNC:7432", "NCBIGene:4522", "MTHFD1",
+      Seq("biolink:Gene", "biolink:NamedThing"), Seq("NCBIGene:4522", "HGNC:7432"), Some(84.8)),
+    NodeNormEntry("HGNC:18", "NCBIGene:5631", "ABC1", Seq("biolink:Gene"), Seq("NCBIGene:5631")),
+    // a variant-style 1→2 split
+    NodeNormEntry("DBSNP:rs12", "CAID:CA1", "rs12", Seq("biolink:SequenceVariant")),
+    NodeNormEntry("DBSNP:rs12", "CAID:CA2", "rs12", Seq("biolink:SequenceVariant")),
+    // self-loop setup: two curies normalizing to the same id
+    NodeNormEntry("MESH:D1", "MONDO:1", "disease one", Seq("biolink:Disease")),
+    NodeNormEntry("OMIM:1", "MONDO:1", "disease one", Seq("biolink:Disease"))))
+
+  private lazy val predMap = predicateMapDf(spark, Seq(
+    PredicateNormEntry("SEMMEDDB:CAUSES", "biolink:causes"),
+    PredicateNormEntry("biolink:affected_by", "biolink:affects", inverted = true),
+    PredicateNormEntry("biolink:subclass_of", "biolink:subclass_of")))
+
+  private def nodesDf(jsons: String*) = {
+    import spark.implicits._
+    spark.read.json(jsons.toSeq.toDS())
+  }
+
+  test("strict node normalization drops failures, rewrites id/name/category") {
+    val nodes = nodesDf(
+      """{"id":"HGNC:7432","name":"old name","category":["biolink:Gene"]}""",
+      """{"id":"UNKNOWN:1","name":"mystery","category":["biolink:NamedThing"]}""")
+    val (out, stats) = normalizeNodes(nodes, nodeMap, strict = true)
+    val rows = out.collect().map(r => r.getAs[String]("id") -> r.getAs[String]("name")).toMap
+    assert(rows == Map("NCBIGene:4522" -> "MTHFD1"))
+    assert(stats.preNorm == 2 && stats.postNorm == 1 && stats.failures == 1)
+  }
+
+  test("lenient normalization keeps failed nodes with original values") {
+    val nodes = nodesDf(
+      """{"id":"HGNC:7432","name":"old","category":["biolink:Gene"]}""",
+      """{"id":"UNKNOWN:1","name":"mystery","category":["biolink:NamedThing"]}""")
+    val (out, stats) = normalizeNodes(nodes, nodeMap, strict = false)
+    assert(stats.postNorm == 2)
+    val mystery = out.filter(col("id") === "UNKNOWN:1").head()
+    assert(mystery.getAs[String]("name") == "mystery")
+  }
+
+  test("node split: one curie to N normalized nodes") {
+    val nodes = nodesDf("""{"id":"DBSNP:rs12","name":"v","category":["biolink:SequenceVariant"]}""")
+    val (out, stats) = normalizeNodes(nodes, nodeMap)
+    assert(stats.postNorm == 2)
+    assert(out.select("id").collect().map(_.getString(0)).toSet == Set("CAID:CA1", "CAID:CA2"))
+  }
+
+  test("edge normalization: endpoint rewrite, original retention, failure count") {
+    val edges = nodesDf(
+      """{"subject":"HGNC:7432","predicate":"SEMMEDDB:CAUSES","object":"HGNC:18"}""",
+      """{"subject":"HGNC:7432","predicate":"SEMMEDDB:CAUSES","object":"MISSING:1"}""")
+    val (out, stats) = normalizeEdges(edges, nodeMap, predMap, "infores:test")
+    assert(stats.sourceEdges == 2 && stats.edgesFailedDueToNodes == 1)
+    val e = out.head()
+    assert(e.getAs[String]("subject") == "NCBIGene:4522")
+    assert(e.getAs[String]("object") == "NCBIGene:5631")
+    assert(e.getAs[String]("predicate") == "biolink:causes")
+    assert(e.getAs[String]("original_subject") == "HGNC:7432")
+    assert(e.getAs[String]("original_object") == "HGNC:18")
+    assert(e.getAs[String]("primary_knowledge_source") == "infores:test")
+  }
+
+  test("edge split: 1→N endpoint fans out, split counted (kgx_file_normalizer.py:295-333)") {
+    val edges = nodesDf(
+      """{"subject":"HGNC:7432","predicate":"SEMMEDDB:CAUSES","object":"DBSNP:rs12"}""")
+    val (out, stats) = normalizeEdges(edges, nodeMap, predMap, "infores:test")
+    assert(out.count() == 2)
+    assert(stats.edgeSplits == 1)
+    assert(out.select("object").collect().map(_.getString(0)).toSet == Set("CAID:CA1", "CAID:CA2"))
+  }
+
+  test("inverted predicate swaps subject and object (affected_by → affects)") {
+    val edges = nodesDf(
+      """{"subject":"HGNC:7432","predicate":"biolink:affected_by","object":"HGNC:18","subject_aspect_qualifier":"activity"}""")
+    val (out, _) = normalizeEdges(edges, nodeMap, predMap, "infores:test")
+    val e = out.head()
+    assert(e.getAs[String]("predicate") == "biolink:affects")
+    // swapped: subject gets the normalized object id
+    assert(e.getAs[String]("subject") == "NCBIGene:5631")
+    assert(e.getAs[String]("object") == "NCBIGene:4522")
+    assert(e.getAs[String]("original_subject") == "HGNC:18")
+    // qualifier columns swap too: subject_aspect_qualifier moved to object side
+    assert(e.getAs[String]("object_aspect_qualifier") == "activity")
+    assert(e.getAs[String]("subject_aspect_qualifier") == null)
+  }
+
+  test("subclass self-loop removed when both endpoints normalize together (N6)") {
+    val edges = nodesDf(
+      """{"subject":"MESH:D1","predicate":"biolink:subclass_of","object":"OMIM:1"}""")
+    val (out, stats) = normalizeEdges(edges, nodeMap, predMap, "infores:test")
+    assert(out.count() == 0)
+    assert(stats.subclassLoopsRemoved == 1)
+  }
+
+  test("unknown predicate falls back to biolink:related_to (normalization.py:475)") {
+    val edges = nodesDf(
+      """{"subject":"HGNC:7432","predicate":"weird:predicate","object":"HGNC:18"}""")
+    val (out, _) = normalizeEdges(edges, nodeMap, predMap, "infores:test")
+    assert(out.head().getAs[String]("predicate") == "biolink:related_to")
+  }
+}
