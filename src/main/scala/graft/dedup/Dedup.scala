@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, all shuffle-shaped
+  * for scale:
+  *
+  *  - exact:        hash-groupBy on a normalized fingerprint (1 shuffle)
+  *  - MinHash+LSH:  shingle → k minhashes → b bands → bucket self-join →
+  *                  candidate pairs → exact-Jaccard verify. The self-join is
+  *                  on (band, signature) so only likely-similar docs meet —
+  *                  never an O(N²) cross product.
+  *  - SimHash:      64-bit sign-aggregated token hashes; near-dups share
+  *                  bucket prefixes (hamming ≤ r via 4-way block split)
+  *  - n-gram Jaccard: exact verify used standalone on shingle inverted index
+  *  - embedding near-dup: cosine ≥ τ pairs via LSH bucketing (graft.sim)
+  *
+  * Everything is expression-only (codegen); hot-shingle filtering caps the
+  * inverted-index skew (classic LSH trick — a stopword shingle would
+  * otherwise pair every document with every other).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per normalized-content fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .groupBy(col("_fp").as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** k minhash values as an array column: min over shingle hashes with k
+    * seed-perturbed xxhash64 functions (hash(seed || shingle)). */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = array_distinct(TextOps.shingles(text, shingleN))
+    val hashes = (0 until k).map { seed =>
+      array_min(transform(sh, s => xxhash64(concat(lit(seed + ":"), s))))
+    }
+    array(hashes: _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH over minhash signatures.
+    * bands·rowsPerBand must equal the signature length. Returns
+    * (id_a, id_b, estimated_jaccard) with id_a < id_b. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    // band hash = xxhash64 of the band's slice, exploded to (band, bucket, id)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("estimated_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .drop("sig_a", "sig_b")
+  }
+
+  /** Exact n-gram Jaccard pairs via a shingle inverted index:
+    * explode distinct shingles, self-join on the shingle, count
+    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). Hot shingles with
+    * document frequency > dfCap are dropped before the join (skew guard). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, minJaccard: Double = 0.8,
+                        dfCap: Int = 100): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .filter(col("n_shingles") > 0)
+    val inverted = docs.select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+    val hot = inverted.groupBy("shingle").count().filter(col("count") > dfCap).select("shingle")
+    val cold = inverted.join(hot, Seq("shingle"), "left_anti")
+    val a = cold.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("n_a"))
+    val b = cold.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("n_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash as a pure expression: sum ±1 per bit over token hashes,
+    * sign → bit. Bit i of hash h contributes +1 when set else -1; the final
+    * bit is 1 when the sum is positive. */
+  def simhash(text: Column): Column = {
+    val tokenHashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val counts = aggregate(
+      tokenHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
+    * 16-bit blocks; docs matching on any block are candidates (guaranteed to
+    * include all pairs with hamming distance < blocks). */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        blocks: Int = 4): DataFrame = {
+    val width = 64 / blocks
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val blocked = hashed.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => call_function("shiftright", col("simhash"), (b * width).cast("int"))
+          .bitwiseAND(lit((1L << width) - 1)))))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+    val a = blocked.select(col("block"), col("key"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = blocked.select(col("block"), col("key"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("block", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

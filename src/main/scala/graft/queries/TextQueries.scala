@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
+
+/** Training-data pipeline operators over documents/embeddings: text
+  * analysis, near-dup detection, similarity search, multimodal plumbing.
+  * Engines that can be oracled in DuckDB are; hash-based sketches
+  * (xxhash64 has no DuckDB twin) get rows-only checks plus ScalaTest
+  * ground-truth verification.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token counting (whitespace + BPE-ish) with per-language rollup. */
+  private val q30: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_bpeish")).as("total_bpeish"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val q30Sql =
+    """SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS total_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpeish,
+       round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END), 4) AS avg_tokens
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Quality scoring: length saturation + punctuation + stopword ratios. */
+  private val q31: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q31Sql = {
+    val stop = TextOps.englishStopwords.mkString("|")
+    s"""SELECT doc_id, round(
+         0.4 * least(ntok / 50.0, 1.0)
+         + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
+         + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0), 4) AS quality
+       FROM (
+         SELECT doc_id, text,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS ntok,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+           CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS DOUBLE) AS nstop
+         FROM documents)
+       ORDER BY doc_id"""
+  }
+
+  /** Language-ID by stopword-profile argmax, scored against the labeled
+    * lang column. */
+  private val q32: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  private val q32Sql = {
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val en = hits(TextOps.englishStopwords)
+    val es = hits(TextOps.spanishStopwords)
+    val de = hits(TextOps.germanStopwords)
+    val fr = hits(TextOps.frenchStopwords)
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+         SELECT lang,
+           CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS predicted
+         FROM (SELECT lang, $en AS en, $es AS es, $de AS de, $fr AS fr, text FROM documents))
+       GROUP BY lang, predicted ORDER BY lang, predicted"""
+  }
+
+  /** n-gram Jaccard near-dup pairs via shingle inverted index (exact
+    * verify path of the dedup stack). */
+  private val q33: Q = (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1, dfCap = 100)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q33Sql =
+    """WITH docs AS (
+         SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                 FROM docs WHERE len(shingles) > 0),
+       inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized),
+       hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
+       cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) AS jaccard
+       FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING round(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) >= 0.1
+       ORDER BY id_a, id_b"""
+
+  /** MinHash+LSH candidate pairs — rows-only (no xxhash64 in DuckDB);
+    * ground truth covered in DedupSpec. */
+  private val q34: Q = (s, dir) => {
+    Dedup.minhashLshCandidates(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash sketches + near-dup candidates — rows-only. */
+  private val q35: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.simhashCandidates(docs, "doc_id", "text", blocks = 4)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  /** Brute-force cosine top-5 for a bounded query set (|Q|=50) — the ANN
+    * exactness baseline, oracled in DuckDB double precision. */
+  private val q36: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q36Sql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+       pairs AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])), 6) AS score
+         FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
+       SELECT query_id, neighbor_id, rank, score FROM (
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+         FROM pairs)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** LSH-bucketed ANN over the same query set — rows-only (recall vs the
+    * brute-force baseline asserted in SimilaritySpec). */
+  private val q37: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, h = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding cosine near-dup pairs, exact bounded variant with oracle. */
+  private val q38: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("score") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q38Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) AS score
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE a.vec_id < 300 AND b.vec_id < 300
+         AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+       ORDER BY id_a, id_b"""
+
+  /** Multimodal plumbing: documents as stand-in binary payloads →
+    * partition-wise stub feature extraction — rows-only (hash-free but the
+    * feature math has no 1-line SQL twin; shape checked here, values in
+    * MultimodalSpec). */
+  private val q39: Q = (s, dir) => {
+    val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media, featureDim = 8)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feature_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q30_token_stats"        -> q30,
+    "q31_quality_score"      -> q31,
+    "q32_langid"             -> q32,
+    "q33_ngram_jaccard"      -> q33,
+    "q34_minhash_lsh"        -> q34,
+    "q35_simhash_pairs"      -> q35,
+    "q36_cosine_topk"        -> q36,
+    "q37_ann_lsh"            -> q37,
+    "q38_embedding_neardup"  -> q38,
+    "q39_multimodal_stub"    -> q39,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats"        -> q30Sql,
+    "q31_quality_score"      -> q31Sql,
+    "q32_langid"             -> q32Sql,
+    "q33_ngram_jaccard"      -> q33Sql,
+    "q36_cosine_topk"        -> q36Sql,
+    "q38_embedding_neardup"  -> q38Sql,
+  )
+}

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  /** Corpus with a planted near-dup pair (0,1), an exact dup pair (2,3),
+    * and unrelated docs. */
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills of the old country"
+    Seq(
+      (0L, base),
+      (1L, base + " today"), // near-dup of 0
+      (2L, "identical content for exact duplicate detection in this corpus"),
+      (3L, "identical content for exact duplicate detection in this corpus"),
+      (4L, "completely different words about spark query engines and distributed shuffles and partitions"),
+      (5L, "yet another unrelated document mentioning embeddings vectors similarity and nearest neighbors")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs, "text", "doc_id").filter(col("n_copies") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("canonical_id") == 2L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dup and exact pairs, skips unrelated") {
+    val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("estimated_jaccard"))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(keys.contains((2L, 3L)))
+    assert(!keys.contains((4L, 5L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((2L, 3L))).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("ngram jaccard: exact value for the exact pair, high for near pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3, dfCap = 100)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((2L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.8) // one extra trailing token
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: hamming 0 for identical, small for near, large for unrelated") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(2L), h(3L)) == 0)
+    assert(hamming(h(0L), h(1L)) < 12)
+    assert(hamming(h(4L), h(5L)) > 12)
+  }
+
+  test("simhash candidates include identical pair with hamming 0") {
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Number]("hamming").longValue()).toMap
+    assert(out((2L, 3L)) == 0L)
+  }
+
+  test("hot-shingle cap prevents stopword-shingle pair explosion") {
+    import spark.implicits._
+    // 30 docs sharing one hot shingle, otherwise distinct
+    val hotDocs = (0 until 30).map(i => (i.toLong, s"common shared shingle unique$i word$i token$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.01, dfCap = 10)
+    assert(pairs.count() == 0) // the only shared shingle is hot → dropped
+  }
+}
