@@ -29,14 +29,18 @@ object Dedup {
       .groupBy(col("_fp").as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** k minhash values as an array column: min over shingle hashes with k
-    * seed-perturbed xxhash64 functions (hash(seed || shingle)). */
+  /** k minhash values as an array column: elementwise min over per-shingle
+    * hash vectors (hash(seed || shingle) for k seeds). Single pass over the
+    * shingle array — k separate array_min(transform(...)) expressions would
+    * re-evaluate the shingle subtree k times (no CSE across lambdas). */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
     val sh = array_distinct(TextOps.shingles(text, shingleN))
-    val hashes = (0 until k).map { seed =>
-      array_min(transform(sh, s => xxhash64(concat(lit(seed + ":"), s))))
-    }
-    array(hashes: _*)
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)),
+          i => xxhash64(concat(i.cast("string"), lit(":"), s))),
+        (a, h) => least(a, h)))
   }
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures.
@@ -47,21 +51,29 @@ object Dedup {
     val k = bands * rowsPerBand
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, k).as("sig"))
-    // band hash = xxhash64 of the band's slice, exploded to (band, bucket, id)
-    val banded = sigs.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band hash = xxhash64 of the band's slice, exploded to (band, bucket, id).
+    // Only (band, bucket, id) enters the self-join — the wide signature is
+    // re-attached AFTER pair dedup so the shuffle carries 2 longs per row,
+    // not 2×k-element arrays (the candidate set can approach N² on a
+    // self-similar corpus; keep those rows narrow).
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("estimated_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
-      .drop("sig_a", "sig_b")
+      .select(col("id_a"), col("id_b"), col("estimated_jaccard"))
   }
 
   /** Exact n-gram Jaccard pairs via a shingle inverted index:
@@ -75,7 +87,13 @@ object Dedup {
       array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
       .filter(col("n_shingles") > 0)
-    val inverted = docs.select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+    // join on the hashed shingle (8-byte key) and cache the inverted index:
+    // the self-join's two branches and the hot-shingle pass would otherwise
+    // recompute the whole explode lineage 4×, shuffling full strings
+    val inverted = docs
+      .select(col("id"), col("n_shingles"), explode(col("shingles")).as("_shingle_str"))
+      .select(col("id"), col("n_shingles"), xxhash64(col("_shingle_str")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = inverted.groupBy("shingle").count().filter(col("count") > dfCap).select("shingle")
     val cold = inverted.join(hot, Seq("shingle"), "left_anti")
     val a = cold.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("n_a"))
@@ -112,7 +130,9 @@ object Dedup {
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
+    // simhash is the expensive part (64-wide zip per token) — compute once
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = hashed.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
         b => call_function("shiftright", col("simhash"), (b * width).cast("int"))
