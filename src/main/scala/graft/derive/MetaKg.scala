@@ -1,0 +1,93 @@
+package graft.derive
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Biolink
+
+/** Meta-KG + QC aggregation plane (SURVEY §2.5 A10-A13, §2.8 D3/D6).
+  * References: orion/meta_kg.py:50-187, orion/kgx_validation.py:25-213,
+  * orion/kgx_metadata.py:295-447.
+  */
+object MetaKg {
+
+  /** Node id → representative type (first category, the KGX convention for
+    * most-specific-first) — the J6 lookup joined onto edges. */
+  def nodeTypes(nodes: DataFrame): DataFrame =
+    nodes.select(col("id"), element_at(col("category"), 1).as("node_type"))
+
+  /** A11/D3 — meta-edges: (subject type, predicate, object type) with edge
+    * count, attribute names, and one example edge triple. */
+  def metaEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val types = nodeTypes(nodes)
+    val subjT = types.select(col("id").as("_sid"), col("node_type").as("subject_type"))
+    val objT = types.select(col("id").as("_oid"), col("node_type").as("object_type"))
+    val attributeCols = edges.columns
+      .filterNot(Seq(Biolink.Subject, Biolink.Object_, Biolink.Predicate).contains)
+    edges
+      .join(subjT, edges(Biolink.Subject) === col("_sid"))
+      .join(objT, edges(Biolink.Object_) === col("_oid"))
+      .groupBy(col("subject_type"), col(Biolink.Predicate), col("object_type"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        first(struct(col(Biolink.Subject).as("subject"), col(Biolink.Object_).as("object"))).as("example"),
+        array_sort(array_distinct(flatten(collect_list(
+          filter(array(attributeCols.map(c =>
+            when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull))))).as("attributes"))
+  }
+
+  /** meta-nodes: type → count + curie prefix set. */
+  def metaNodes(nodes: DataFrame): DataFrame =
+    nodes
+      .select(element_at(col("category"), 1).as("node_type"),
+        regexp_extract(col("id"), "^([^:]+):", 1).as("prefix"))
+      .groupBy(col("node_type"))
+      .agg(count(lit(1)).as("n_nodes"),
+        array_sort(collect_set(col("prefix"))).as("id_prefixes"))
+
+  final case class QcResults(
+      nodeCount: Long, edgeCount: Long,
+      nodeTypeCounts: Map[String, Long],
+      predicateCounts: Map[String, Long],
+      primaryKsCounts: Map[String, Long],
+      edgesMissingNodes: Long,
+      warnings: Seq[String])
+
+  /** D6 — graph QC: exact counts (QC is exact in the reference — no
+    * approx_count_distinct here) + dangling-edge check (the reference's
+    * missing-node check is an anti-join shape, meta_kg.py:103-113). */
+  def qc(nodes: DataFrame, edges: DataFrame): QcResults = {
+    val nodeCount = nodes.count()
+    val edgeCount = edges.count()
+    val typeCounts = nodes.select(element_at(col("category"), 1).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
+    val predCounts = edges.groupBy(Biolink.Predicate).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pksCounts =
+      if (edges.columns.contains(Biolink.PrimaryKnowledgeSource))
+        edges.groupBy(Biolink.PrimaryKnowledgeSource).count().collect()
+          .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
+      else Map.empty[String, Long]
+    val ids = nodes.select(col("id"))
+    val missing = edges
+      .select(explode(array(col(Biolink.Subject), col(Biolink.Object_))).as("id"))
+      .join(ids, Seq("id"), "left_anti").count()
+    val warnings = if (missing > 0) Seq(s"$missing edge endpoints missing from nodes") else Nil
+    QcResults(nodeCount, edgeCount, typeCounts, predCounts, pksCounts, missing, warnings)
+  }
+
+  /** A12-style schema summary: per (node type set) prefix/attribute counts,
+    * per (s,p,o) triple counts — compact maps for schema.json. */
+  def schemaSummary(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val types = nodeTypes(nodes)
+    val subjT = types.select(col("id").as("_sid"), col("node_type").as("subject_type"))
+    val objT = types.select(col("id").as("_oid"), col("node_type").as("object_type"))
+    edges
+      .join(subjT, edges(Biolink.Subject) === col("_sid"))
+      .join(objT, edges(Biolink.Object_) === col("_oid"))
+      .groupBy(col("subject_type"), col(Biolink.Predicate), col("object_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(Biolink.Subject)).as("n_subjects"),
+        count_distinct(col(Biolink.Object_)).as("n_objects"))
+  }
+}

@@ -59,7 +59,7 @@ object GraphCsvSink {
     val f = df.schema(name)
     f.dataType match {
       case ArrayType(StringType, _) =>
-        array_join(transform(col(name), flattenWs), ArrayDelimiter)
+        array_join(transform(col(name), flattenWs(_)), ArrayDelimiter)
       case ArrayType(_: NumericType, _) =>
         array_join(transform(col(name), _.cast("string")), ArrayDelimiter)
       case ArrayType(_, _) | _: StructType | _: MapType =>

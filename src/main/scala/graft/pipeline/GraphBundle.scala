@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.io.KgxIO
+import graft.derive.MetaKg
+import java.nio.file.{Files, Paths}
+
+/** Bundle finalize (SURVEY §2.2 K5, §3.1 merge_and_finalize tail):
+  * nodes/edges jsonl.gz + graph-metadata.json + qc-results.json +
+  * schema.json sidecars (refs orion/kgx_bundle.py:14-56,
+  * orion/graph_pipeline.py:445-532, orion/kgx_metadata.py:449-469).
+  * Sidecars are driver-side serializations of small aggregate results;
+  * the heavy writes stay distributed.
+  */
+object GraphBundle {
+  private val mapper = new ObjectMapper()
+
+  final case class BundleResult(
+      path: String, nodeCount: Long, edgeCount: Long, buildVersion: String)
+
+  private def writeJson(path: java.nio.file.Path, node: ObjectNode): Unit =
+    Files.writeString(path, node.toPrettyString)
+
+  def finalizeBundle(spec: GraphSpec, nodes: DataFrame, edges: DataFrame,
+                     outDir: String, gzip: Boolean = true): BundleResult = {
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+
+    // bundle files (directory-of-parts layout; the scalable form of K1/K2)
+    KgxIO.writeJsonl(nodes, s"$outDir/nodes.jsonl", dedupKeys = Seq("id"), gzip = gzip)
+    KgxIO.writeJsonl(edges, s"$outDir/edges.jsonl", dedupKeys = Nil, gzip = gzip)
+
+    val qc = MetaKg.qc(nodes, edges)
+
+    val srcVersions = spec.sources.map(s => Versioning.sourceBuildVersion(
+      s.id, s.sourceVersion.getOrElse("latest"),
+      s.parsingVersion.getOrElse("1.0"), s.normalizationVersion.getOrElse("1.0")))
+    val buildVersion = Versioning.graphBuildVersion(srcVersions)
+
+    // graph-metadata.json (DCAT-ish, ref graph_pipeline.py:445-532)
+    val meta = mapper.createObjectNode()
+    meta.put("graph_id", spec.graphId)
+    meta.put("graph_name", spec.graphName)
+    meta.put("build_version", buildVersion)
+    meta.put("node_count", qc.nodeCount)
+    meta.put("edge_count", qc.edgeCount)
+    val srcArr = meta.putArray("sources")
+    spec.sources.zip(srcVersions).foreach { case (s, v) =>
+      val sn = srcArr.addObject()
+      sn.put("id", s.id); sn.put("build_version", v)
+      sn.put("merge_strategy", s.mergeStrategy)
+    }
+    writeJson(dir.resolve("graph-metadata.json"), meta)
+
+    // qc-results.json (ref kgx_validation.py:25-213)
+    val qcNode = mapper.createObjectNode()
+    qcNode.put("node_count", qc.nodeCount)
+    qcNode.put("edge_count", qc.edgeCount)
+    qcNode.put("edges_missing_nodes", qc.edgesMissingNodes)
+    val tc = qcNode.putObject("node_type_counts")
+    qc.nodeTypeCounts.toSeq.sortBy(_._1).foreach { case (k, v) => tc.put(k, v) }
+    val pc = qcNode.putObject("predicate_counts")
+    qc.predicateCounts.toSeq.sortBy(_._1).foreach { case (k, v) => pc.put(k, v) }
+    val kc = qcNode.putObject("primary_knowledge_source_counts")
+    qc.primaryKsCounts.toSeq.sortBy(_._1).foreach { case (k, v) => kc.put(k, v) }
+    val warn = qcNode.putArray("warnings")
+    qc.warnings.foreach(warn.add)
+    writeJson(dir.resolve("qc-results.json"), qcNode)
+
+    // schema.json (ref kgx_metadata.py:378-469): spo triple summary
+    val schema = mapper.createObjectNode()
+    val triples = schema.putArray("edge_types")
+    MetaKg.schemaSummary(nodes, edges).collect().foreach { r =>
+      val t = triples.addObject()
+      t.put("subject_type", r.getAs[String]("subject_type"))
+      t.put("predicate", r.getAs[String]("predicate"))
+      t.put("object_type", r.getAs[String]("object_type"))
+      t.put("count", r.getAs[Long]("n"))
+    }
+    val nodeTypes = schema.putArray("node_types")
+    MetaKg.metaNodes(nodes).collect().foreach { r =>
+      val t = nodeTypes.addObject()
+      t.put("node_type", r.getAs[String]("node_type"))
+      t.put("count", r.getAs[Long]("n_nodes"))
+      val pfx = t.putArray("id_prefixes")
+      r.getSeq[String](r.fieldIndex("id_prefixes")).foreach(pfx.add)
+    }
+    writeJson(dir.resolve("schema.json"), schema)
+
+    BundleResult(outDir, qc.nodeCount, qc.edgeCount, buildVersion)
+  }
+}
