@@ -268,6 +268,89 @@ object RelationalQueries {
        l_orderkey, l_linenumber
        FROM lineitem ORDER BY l_orderkey, l_linenumber"""
 
+  /** S5 — JSON-bag scan: parse the events.props JSON string column
+    * (the JSON-array/extractor-callback scan shape,
+    * ref orion/extractor.py:84-101). */
+  private val q13: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q13Sql =
+    """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+       FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Batch sessionization twin (graft.streaming.EventStreams.sessionizeBatch):
+    * 30-minute gap sessions per user via lag/window. */
+  private val q14: Q = (s, dir) => {
+    graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        floor(col("started").cast("double") * 1000).cast("long").as("started_ms"),
+        floor(col("ended").cast("double") * 1000).cast("long").as("ended_ms"))
+      .orderBy(col("user_id"), col("started_ms"))
+  }
+
+  private val q14Sql =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+              epoch_ms(min(ts)) AS started_ms, epoch_ms(max(ts)) AS ended_ms
+       FROM (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         FROM (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events))
+       GROUP BY user_id, session_no ORDER BY user_id, started_ms"""
+
+  /** A6 — pre-merge edge-id mapping via the real MergeEngine: duplicate
+    * (order, part) edges list their pre-merge line ids
+    * (ref orion/merging.py:280-295). */
+  private val q15: Q = (s, dir) => {
+    val edges = Tables.lineitem(s, dir).select(
+      concat(lit("ORDER:"), col("l_orderkey")).as("subject"),
+      lit("contains_part").as("predicate"),
+      concat(lit("PART:"), col("l_partkey")).as("object"),
+      lit("infores:synth").as("primary_knowledge_source"),
+      concat(lit("L"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("id"))
+    graft.merge.MergeEngine.edgeIdMapping(edges)
+      .select(array_join(col("pre_merge_ids"), ",").as("pre_merge_ids"),
+        size(col("pre_merge_ids")).as("n"))
+      .orderBy(col("pre_merge_ids"))
+  }
+
+  private val q15Sql =
+    """SELECT list_aggregate(list_sort(list('L' || l_orderkey || '-' || l_linenumber)), 'string_agg', ',') AS pre_merge_ids,
+              count(*) AS n
+       FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+       ORDER BY pre_merge_ids"""
+
+  /** Rollup (multi-level aggregate; beyond the reference — A12's two-level
+    * summaries generalized): priority × status with subtotals. */
+  private val q16: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  private val q16Sql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+              coalesce(o_orderstatus, 'ALL') AS status,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+       ORDER BY priority, status"""
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary"        -> q01,
     "q02_region_revenue"         -> q02,
@@ -281,9 +364,17 @@ object RelationalQueries {
     "q10_grouped_evidence_vote"  -> q10,
     "q11_hourly_rollup"          -> q11,
     "q12_edge_inversion"         -> q12,
+    "q13_json_props_scan"        -> q13,
+    "q14_sessionize"             -> q14,
+    "q15_edge_id_mapping"        -> q15,
+    "q16_rollup"                 -> q16,
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_json_props_scan"        -> q13Sql,
+    "q14_sessionize"             -> q14Sql,
+    "q15_edge_id_mapping"        -> q15Sql,
+    "q16_rollup"                 -> q16Sql,
     "q01_pricing_summary"        -> q01Sql,
     "q02_region_revenue"         -> q02Sql,
     "q03_broadcast_type_share"   -> q03Sql,
