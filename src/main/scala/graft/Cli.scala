@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.io.{GraphCsvSink, KgxIO}
+import graft.derive.{AnswerCoalesce, DerivedGraphs, MetaKg}
+import graft.merge.{GraphMerger, MergeEngine}
+import graft.pipeline.{GraphBundle, GraphSpec}
+
+/** Thin CLI mirroring the reference entry points (SURVEY §2.9 O6:
+  * orion-build/-merge/-meta-kg/-redundant-kg/-ac/-neo4j-dump/
+  * -memgraph-dump).
+  *
+  * Usage:
+  *   graft.Cli merge <nodesA,jsonl> <edgesA> <nodesB> <edgesB> <outDir>
+  *   graft.Cli redundant <edges.jsonl> <outDir>
+  *   graft.Cli collapse <edges.jsonl> <outDir>
+  *   graft.Cli meta-kg <nodes.jsonl> <edges.jsonl> <outDir>
+  *   graft.Cli ac <nodes.jsonl> <edges.jsonl> <outDir>
+  *   graft.Cli neo4j-csv <nodes.jsonl> <edges.jsonl> <outDir>
+  *   graft.Cli memgraph-csv <nodes.jsonl> <edges.jsonl> <outDir>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Cli <command> [args...]")
+    val spark = Sessions.local()
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "merge" =>
+      // standalone merge (ref orion/cli/merge_kgs.py): two file sets → bundle
+      val Array(_, nodesA, edgesA, nodesB, edgesB, out) = args
+      val merged = GraphMerger.mergeGraph(primary = Seq(
+        GraphMerger.SourceGraph("a", spark.read.json(nodesA), spark.read.json(edgesA)),
+        GraphMerger.SourceGraph("b", spark.read.json(nodesB), spark.read.json(edgesB))))
+      GraphBundle.finalizeBundle(
+        GraphSpec(graphId = "merged", sources = Nil), merged.nodes, merged.edges, out)
+    case "redundant" =>
+      KgxIO.writeJsonl(DerivedGraphs.redundantEdges(spark.read.json(args(1))),
+        args(2), dedupKeys = Nil)
+    case "collapse" =>
+      KgxIO.writeJsonl(DerivedGraphs.collapsedQualifierEdges(spark.read.json(args(1))),
+        args(2), dedupKeys = Nil)
+    case "meta-kg" =>
+      val (nodes, edges) = (spark.read.json(args(1)), spark.read.json(args(2)))
+      MetaKg.metaEdges(nodes, edges).coalesce(1).write.mode("overwrite").json(args(3) + "/meta_edges")
+      MetaKg.metaNodes(nodes).coalesce(1).write.mode("overwrite").json(args(3) + "/meta_nodes")
+    case "ac" =>
+      val ac = AnswerCoalesce.build(spark.read.json(args(1)), spark.read.json(args(2)))
+      val out = args(3)
+      ac.nodeLabels.write.mode("overwrite").json(out + "/nodelabels")
+      ac.nodeNames.write.mode("overwrite").json(out + "/nodenames")
+      ac.categoryCount.coalesce(1).write.mode("overwrite").json(out + "/category_count")
+      ac.prov.write.mode("overwrite").json(out + "/prov")
+      ac.links.write.mode("overwrite").json(out + "/links")
+      ac.backlinks.write.mode("overwrite").json(out + "/backlinks")
+    case "neo4j-csv" =>
+      GraphCsvSink.writeNeo4jNodes(spark.read.json(args(1)), args(3) + "/nodes")
+      GraphCsvSink.writeNeo4jEdges(spark.read.json(args(2)), args(3) + "/edges")
+    case "memgraph-csv" =>
+      GraphCsvSink.writeNeo4jNodes(spark.read.json(args(1)), args(3) + "/nodes")
+      GraphCsvSink.writeMemgraphEdges(spark.read.json(args(2)), args(3) + "/edges")
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+}
