@@ -19,15 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision. */
+  /** dot(a, b) in double precision — custom codegen Expression (a tight
+    * primitive loop; zip_with/aggregate would box per element). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Single-pass codegen cosine; accumulation order matches the
+    * dot/(‖a‖·‖b‖) composition exactly. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself when ids collide). */
