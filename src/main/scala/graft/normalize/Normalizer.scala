@@ -98,10 +98,14 @@ object Normalizer {
     else if (name.contains("object")) name.replace("object", "subject")
     else name
 
-  /** J1+J2+J3+N5-N8 — full edge normalization. */
+  /** J1+J2+J3+N5-N8 — full edge normalization.
+    * `computeStats=false` skips the four counting passes (splits/failures/
+    * loops) — use on hot paths where only the output matters; the plan is
+    * identical either way. */
   def normalizeEdges(edges: DataFrame, nodeMap: DataFrame, predicateMap: DataFrame,
-                     defaultProvenance: String): (DataFrame, EdgeNormStats) = {
-    val sourceEdges = edges.count()
+                     defaultProvenance: String,
+                     computeStats: Boolean = true): (DataFrame, EdgeNormStats) = {
+    val sourceEdges = if (computeStats) edges.count() else 0L
     val withOrd = edges.withColumn("_src_edge_id", monotonically_increasing_id())
 
     // J1/J2: subject then object endpoint joins; inner = failed endpoints drop
@@ -110,7 +114,8 @@ object Normalizer {
     val joined = withOrd
       .join(subjMap, col(Biolink.Subject) === col("_s_orig"))
       .join(objMap, col(Biolink.Object_) === col("_o_orig"))
-    val edgesFailedDueToNodes = sourceEdges - joined.select("_src_edge_id").distinct().count()
+    val edgesFailedDueToNodes =
+      if (computeStats) sourceEdges - joined.select("_src_edge_id").distinct().count() else 0L
 
     // J3: broadcast predicate normalization with related_to fallback
     val pm = predicateMap.select(col("orig_predicate"),
@@ -137,10 +142,11 @@ object Normalizer {
       .withColumn(Biolink.PrimaryKnowledgeSource, pksCol)
 
     // N6: subclass self-loop removal (post-normalization ids)
-    val loops = rewritten.filter(
-      col(Biolink.Predicate) === Biolink.SubclassOf &&
-      col(Biolink.Subject) === col(Biolink.Object_))
-    val subclassLoopsRemoved = loops.count()
+    val subclassLoopsRemoved =
+      if (!computeStats) 0L
+      else rewritten.filter(
+        col(Biolink.Predicate) === Biolink.SubclassOf &&
+        col(Biolink.Subject) === col(Biolink.Object_)).count()
     val kept = rewritten.filter(
       !(col(Biolink.Predicate) === Biolink.SubclassOf &&
         col(Biolink.Subject) === col(Biolink.Object_)))
@@ -158,13 +164,17 @@ object Normalizer {
       }: _*)
     val result = straight.unionByName(inverted)
 
-    val perSource = result.groupBy(col("_src_edge_id")).count()
-    val edgeSplits = perSource.agg(sum(greatest(col("count") - 1, lit(0)))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
+    if (!computeStats)
+      (result.drop("_src_edge_id"), EdgeNormStats(0, 0, 0, 0, 0))
+    else {
+      val perSource = result.groupBy(col("_src_edge_id")).count()
+      val edgeSplits = perSource.agg(sum(greatest(col("count") - 1, lit(0)))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      (result.drop("_src_edge_id"),
+        EdgeNormStats(sourceEdges, result.count(), edgeSplits,
+          edgesFailedDueToNodes, subclassLoopsRemoved))
     }
-    (result.drop("_src_edge_id"),
-      EdgeNormStats(sourceEdges, result.count(), edgeSplits,
-        edgesFailedDueToNodes, subclassLoopsRemoved))
   }
 }

@@ -317,7 +317,8 @@ object GraphQueries {
       when(col("s_suppkey") % 2 === 0, lit("located_in")).otherwise(lit("contains")).as(Biolink.Predicate),
       when(col("s_suppkey") % 2 === 0, concat(lit("NATION:"), col("s_nationkey")))
         .otherwise(concat(lit("SUPP:"), col("s_suppkey"))).as(Biolink.Object_))
-    val (out, _) = normalizeEdges(edges, nodeMap, predMap, "infores:synth")
+    val (out, _) = normalizeEdges(edges, nodeMap, predMap, "infores:synth",
+      computeStats = false)
     out.select(col("subject"), col("predicate"), col("object"),
         col("original_subject"), col("original_object"), col("primary_knowledge_source"))
       .orderBy(col("subject"), col("object"), col("original_subject"))
