@@ -92,4 +92,14 @@ object VectorExpressions {
     CatalystBridge.column(DotProduct(CatalystBridge.expression(a), CatalystBridge.expression(b)))
   def cosineSimilarity(a: Column, b: Column): Column =
     CatalystBridge.column(CosineSimilarity(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Expose the expressions to SQL (`SELECT cosine_similarity(a, b)`) —
+    * the SparkSessionExtensions-style registration point. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 }

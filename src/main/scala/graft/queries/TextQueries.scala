@@ -201,7 +201,17 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
+  /** IVF ANN over the same bounded query set — rows-only (recall asserted
+    * against brute force in IvfSpec). */
+  private val q40: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val index = graft.sim.Ivf.train(emb, nlist = 8)
+    graft.sim.Ivf.topK(emb.filter(col("vec_id") < 50), emb, index, k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q40_ivf_ann"            -> q40,
     "q30_token_stats"        -> q30,
     "q31_quality_score"      -> q31,
     "q32_langid"             -> q32,
