@@ -30,7 +30,10 @@ object GraphMerger {
     import org.apache.spark.sql.functions.{sum => fsum}
     val nMergedNodes = mn.agg(fsum("nMerged")).head().getLong(0)
     val nMergedEdges = me.agg(fsum("nMerged")).head().getLong(0)
-    MergedGraph(MergeEngine.jsonToDf(mn), MergeEngine.jsonToDf(me), nMergedNodes, nMergedEdges)
+    MergedGraph(
+      MergeEngine.jsonToDf(mn, Some(nodes.schema)),
+      MergeEngine.jsonToDf(me, Some(edges.schema)),
+      nMergedNodes, nMergedEdges)
   }
 
   /** J4 — connected_edge_subset: keep a secondary source's edges only when

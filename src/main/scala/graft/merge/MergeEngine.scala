@@ -97,12 +97,22 @@ object MergeEngine {
       .map { case (k, (js, n)) => MergedEntity(k, js, n) }
   }
 
-  /** Recover a typed DataFrame from merged JSON (schema inference mirrors the
-    * reference's dynamic jsonl semantics, SURVEY §1.2). */
-  def jsonToDf(merged: Dataset[MergedEntity]): DataFrame = {
+  /** Recover a typed DataFrame from merged JSON. Without a schema this
+    * infers one (an extra pass — the reference's dynamic jsonl semantics,
+    * SURVEY §1.2); pass the pre-merge schema to skip it: the merge never
+    * changes a unified column's JSON type (lists stay lists, first-truthy
+    * scalars keep the union type), so the input schema is exact. */
+  def jsonToDf(merged: Dataset[MergedEntity],
+               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val spark = merged.sparkSession
     import spark.implicits._
-    spark.read.json(merged.map(_.json))
+    schema match {
+      case Some(s) =>
+        val clean = org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == "_ordinal").map(_.copy(nullable = true)))
+        merged.select(from_json(col("json"), clean).as("e")).select(col("e.*"))
+      case None => spark.read.json(merged.map(_.json))
+    }
   }
 
   /** A1/A3 — node merge: group by id (ref orion/merging.py:67-68,508-524). */

@@ -36,7 +36,7 @@ object GraphQueries {
     val (a, b) = customerNodes(s, dir)
     val unioned = MergeEngine.withOrdinal(Seq(a, b))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val merged = MergeEngine.jsonToDf(MergeEngine.mergeNodes(unioned))
+    val merged = MergeEngine.jsonToDf(MergeEngine.mergeNodes(unioned), Some(unioned.schema))
     merged.select(
         col("id"),
         col("name"),
