@@ -43,8 +43,7 @@ object Cli {
         args(2), dedupKeys = Nil)
     case "meta-kg" =>
       val (nodes, edges) = (spark.read.json(args(1)), spark.read.json(args(2)))
-      MetaKg.metaEdges(nodes, edges).coalesce(1).write.mode("overwrite").json(args(3) + "/meta_edges")
-      MetaKg.metaNodes(nodes).coalesce(1).write.mode("overwrite").json(args(3) + "/meta_nodes")
+      MetaKg.writeMetaKgFiles(nodes, edges, args(3))
     case "ac" =>
       val ac = AnswerCoalesce.build(spark.read.json(args(1)), spark.read.json(args(2)))
       val out = args(3)

@@ -76,6 +76,55 @@ object MetaKg {
     QcResults(nodeCount, edgeCount, typeCounts, predCounts, pksCounts, missing, warnings)
   }
 
+  /** D3 — the meta-KG file trio (ref orion/meta_kg.py:14-16,23-218):
+    * meta_knowledge_graph.json (TRAPI nodes/edges), testing_data.json
+    * (one example edge per meta-edge), example_edges.jsonl. Aggregates are
+    * meta-edge-cardinality-sized → safe to collect. */
+  def writeMetaKgFiles(nodes: DataFrame, edges: DataFrame, outDir: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val me = metaEdges(nodes, edges).collect()
+    val mn = metaNodes(nodes).collect()
+
+    val metaKg = mapper.createObjectNode()
+    val nodesObj = metaKg.putObject("nodes")
+    mn.sortBy(_.getAs[String]("node_type")).foreach { r =>
+      val t = nodesObj.putObject(r.getAs[String]("node_type"))
+      val pfx = t.putArray("id_prefixes")
+      r.getSeq[String](r.fieldIndex("id_prefixes")).foreach(pfx.add)
+    }
+    val edgesArr = metaKg.putArray("edges")
+    me.sortBy(r => (r.getAs[String]("subject_type"), r.getAs[String]("predicate"),
+        r.getAs[String]("object_type"))).foreach { r =>
+      val e = edgesArr.addObject()
+      e.put("subject", r.getAs[String]("subject_type"))
+      e.put("predicate", r.getAs[String]("predicate"))
+      e.put("object", r.getAs[String]("object_type"))
+      val attrs = e.putArray("attributes")
+      r.getSeq[String](r.fieldIndex("attributes")).foreach(attrs.add)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "meta_knowledge_graph.json"), metaKg.toPrettyString)
+
+    val testing = mapper.createObjectNode()
+    val examples = testing.putArray("edges")
+    val exampleLines = new StringBuilder
+    me.foreach { r =>
+      val ex = r.getStruct(r.fieldIndex("example"))
+      val o = examples.addObject()
+      o.put("subject_category", r.getAs[String]("subject_type"))
+      o.put("predicate", r.getAs[String]("predicate"))
+      o.put("object_category", r.getAs[String]("object_type"))
+      o.put("subject_id", ex.getAs[String]("subject"))
+      o.put("object_id", ex.getAs[String]("object"))
+      exampleLines.append(o.toString).append('\n')
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "testing_data.json"), testing.toPrettyString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "example_edges.jsonl"), exampleLines.toString)
+  }
+
   /** A12-style schema summary: per (node type set) prefix/attribute counts,
     * per (s,p,o) triple counts — compact maps for schema.json. */
   def schemaSummary(nodes: DataFrame, edges: DataFrame): DataFrame = {

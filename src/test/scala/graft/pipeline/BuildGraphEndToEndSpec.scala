@@ -80,6 +80,24 @@ class BuildGraphEndToEndSpec extends SparkSpec {
     assert(qcJson.contains("\"biolink:affects\" : 15"))
   }
 
+  test("meta-KG trio files (meta_kg.py:14-16)") {
+    import spark.implicits._
+    val nodes = spark.read.json(Seq(
+      """{"id":"HGNC:1","name":"g","category":["biolink:Gene"]}""",
+      """{"id":"MONDO:1","name":"d","category":["biolink:Disease"]}""").toDS())
+    val edges = spark.read.json(Seq(
+      """{"subject":"HGNC:1","predicate":"biolink:gene_associated_with_condition","object":"MONDO:1","publications":["PMID:1"]}""").toDS())
+    val out = Files.createTempDirectory("metakg").toString
+    graft.derive.MetaKg.writeMetaKgFiles(nodes, edges, out)
+    val mk = Files.readString(Paths.get(out, "meta_knowledge_graph.json"))
+    assert(mk.contains("\"biolink:Gene\""))
+    assert(mk.contains("\"predicate\" : \"biolink:gene_associated_with_condition\""))
+    assert(mk.contains("\"publications\""))
+    val td = Files.readString(Paths.get(out, "testing_data.json"))
+    assert(td.contains("\"subject_id\" : \"HGNC:1\""))
+    assert(Files.readAllLines(Paths.get(out, "example_edges.jsonl")).size() == 1)
+  }
+
   test("redundant KG expansion: ancestors + qualifier permutations (redundant_kg.py:51-106)") {
     import spark.implicits._
     val edges = spark.read.json(Seq(
