@@ -53,6 +53,48 @@ object Normalizer {
     entries.toDF()
   }
 
+  /** N1/N9 — load a snapshotted NodeNorm response file (the reference's
+    * canned-response shape, tests/test_kgx_file_normalizer.py:11-73:
+    * `{curie: {id:{identifier,label}, type:[...], equivalent_identifiers:
+    * [{identifier,...}], information_content} | null}`) into the nodeMap
+    * DataFrame. Snapshotting responses keyed by normalization version is
+    * what makes builds reproducible (SURVEY §7.5 risk 4) — and the only
+    * option in a zero-egress environment. */
+  def nodeMapFromSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    import scala.jdk.CollectionConverters._
+    val entries = root.properties().asScala.toSeq.flatMap { e =>
+      val (orig, v) = (e.getKey, e.getValue)
+      if (v == null || v.isNull) Nil
+      else {
+        val normId = v.path("id").path("identifier").asText(orig)
+        val label = v.path("id").path("label").asText(null)
+        val types = v.path("type").elements().asScala.map(_.asText()).toSeq
+        val eids = v.path("equivalent_identifiers").elements().asScala
+          .map(_.path("identifier").asText()).toSeq
+        val ic = if (v.has("information_content")) Some(v.get("information_content").asDouble()) else None
+        Seq(NodeNormEntry(orig, normId, label,
+          if (types.nonEmpty) types else Seq(graft.model.Biolink.NamedThing), eids, ic))
+      }
+    }
+    nodeMapDf(spark, entries)
+  }
+
+  /** Predicate-map snapshot (`{predicate: {predicate, inverted?}}`,
+    * ref tests/test_kgx_file_normalizer.py:75-80). */
+  def predicateMapFromSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    import scala.jdk.CollectionConverters._
+    val entries = root.properties().asScala.toSeq.map { e =>
+      PredicateNormEntry(e.getKey,
+        e.getValue.path("predicate").asText(graft.model.Biolink.RelatedTo),
+        e.getValue.path("inverted").asBoolean(false))
+    }
+    predicateMapDf(spark, entries)
+  }
+
   /** N1/N2 — apply node normalization: rewrite id/name/category/
     * equivalent_identifiers/information_content from the map. strict drops
     * nodes that missed (ref orion/normalization.py:225-317); lenient keeps

@@ -39,6 +39,9 @@ object IngestPipeline {
       * SURVEY §7.1: hermetic normalizer). */
     def nodeNormMap(spark: SparkSession): Option[DataFrame] = None
     def predicateNormMap(spark: SparkSession): Option[DataFrame] = None
+    /** Whether normalization applies — part of the memo key, overridable
+      * when computing nodeNormMap is expensive. */
+    def nodeNormMapDefined: Boolean = true
     def strictNormalization: Boolean = true
     def removeUnconnected: Boolean = true
   }
@@ -62,18 +65,36 @@ object IngestPipeline {
     Files.writeString(Paths.get(dir, s"$sourceId.meta.json"), meta.toPrettyString)
   }
 
+  /** Expected content-hash build version for a loader (pure — computable
+    * before any work runs; the memoization key, ref orion/metadata.py:228-239). */
+  def expectedBuildVersion(loader: SourceLoader): String =
+    Versioning.sourceBuildVersion(
+      loader.sourceId, loader.sourceVersion, loader.parsingVersion,
+      if (loader.nodeNormMapDefined) "1.0" else "none")
+
   /** O1 — run one source through parse → normalize → (QC counts), writing
-    * the stage memo sidecar. Normalization is applied only when the loader
-    * provides maps (pre-normalized sources skip, like the reference's
-    * *_pre_normalized flags). */
+    * the stage memo sidecar and materializing the result under a
+    * content-versioned directory. If that directory already holds a
+    * complete build for the same version, every stage is SKIPPED and the
+    * parquet is read back — the reference's build-cache property
+    * (orion/ingest_pipeline.py:107-181 status memo). */
   def runSource(spark: SparkSession, loader: SourceLoader,
                 storageDir: String): IngestResult = {
+    val buildVersion0 = expectedBuildVersion(loader)
+    val versionDir = s"$storageDir/${loader.sourceId}/$buildVersion0"
+    val donePath = Paths.get(versionDir, "_BUILD_COMPLETE")
+    if (Files.exists(donePath)) {
+      val nodes = spark.read.parquet(s"$versionDir/nodes.parquet")
+      val edges = spark.read.parquet(s"$versionDir/edges.parquet")
+      return IngestResult(loader.sourceId, buildVersion0, nodes, edges,
+        Seq(StageResult("cached", Stable.name, s"reused $versionDir")))
+    }
     val stages = scala.collection.mutable.ArrayBuffer[StageResult]()
     val (rawNodes, rawEdges) = loader.parse(spark)
     stages += StageResult("parsing", Stable.name,
       s"nodes=${rawNodes.count()} edges=${rawEdges.count()}")
 
-    val (nodes, edges, normVersion) = loader.nodeNormMap(spark) match {
+    val (nodes, edges) = loader.nodeNormMap(spark) match {
       case Some(nm) =>
         val pm = loader.predicateNormMap(spark)
           .getOrElse(Normalizer.predicateMapDf(spark, Nil))
@@ -87,16 +108,22 @@ object IngestPipeline {
           s"nodes=${nodeStats.postNorm} failures=${nodeStats.failures} " +
           s"edges=${edgeStats.normalizedEdges} splits=${edgeStats.edgeSplits} " +
           s"failed_edges=${edgeStats.edgesFailedDueToNodes} loops=${edgeStats.subclassLoopsRemoved}")
-        (finalNodes, nEdges, "1.0")
+        (finalNodes, nEdges)
       case None =>
         stages += StageResult("normalization", Stable.name, "pre-normalized")
-        (rawNodes, rawEdges, "none")
+        (rawNodes, rawEdges)
     }
 
-    val buildVersion = Versioning.sourceBuildVersion(
-      loader.sourceId, loader.sourceVersion, loader.parsingVersion, normVersion)
-    writeMeta(storageDir, loader.sourceId, buildVersion, stages.toSeq)
-    IngestResult(loader.sourceId, buildVersion, nodes, edges, stages.toSeq)
+    val buildVersion = buildVersion0
+    // materialize under the content-versioned dir + completion marker
+    val outDir = s"$storageDir/${loader.sourceId}/$buildVersion"
+    nodes.write.mode("overwrite").parquet(s"$outDir/nodes.parquet")
+    edges.write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    writeMeta(outDir, loader.sourceId, buildVersion, stages.toSeq)
+    Files.writeString(Paths.get(outDir, "_BUILD_COMPLETE"), buildVersion)
+    val outNodes = spark.read.parquet(s"$outDir/nodes.parquet")
+    val outEdges = spark.read.parquet(s"$outDir/edges.parquet")
+    IngestResult(loader.sourceId, buildVersion, outNodes, outEdges, stages.toSeq)
   }
 
   /** O2 — build a graph from a spec: run every source, group by merge

@@ -104,6 +104,38 @@ class NormalizerSpec extends SparkSpec {
     assert(stats.subclassLoopsRemoved == 1)
   }
 
+  test("snapshot loaders parse the canned NodeNorm/predicate response shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("norm_snapshot")
+    val nodeFile = dir.resolve("nodenorm.json")
+    java.nio.file.Files.writeString(nodeFile,
+      """{"HGNC:7432": {
+           "id": {"identifier": "NCBIGene:4522", "label": "MTHFD1"},
+           "type": ["biolink:Gene", "biolink:NamedThing"],
+           "equivalent_identifiers": [{"identifier": "NCBIGene:4522"}, {"identifier": "HGNC:7432"}],
+           "information_content": 84.8},
+         "UNKNOWN:1": null}""")
+    val predFile = dir.resolve("predmap.json")
+    java.nio.file.Files.writeString(predFile,
+      """{"SEMMEDDB:CAUSES": {"predicate": "biolink:causes"},
+          "biolink:affected_by": {"predicate": "biolink:affects", "inverted": true}}""")
+    val nm = nodeMapFromSnapshot(spark, nodeFile.toString)
+    assert(nm.count() == 1) // null entry (failed normalization) excluded
+    val r = nm.head()
+    assert(r.getAs[String]("orig_id") == "HGNC:7432")
+    assert(r.getAs[String]("norm_id") == "NCBIGene:4522")
+    assert(r.getAs[String]("name") == "MTHFD1")
+    assert(r.getSeq[String](r.fieldIndex("equivalent_identifiers")) ==
+      Seq("NCBIGene:4522", "HGNC:7432"))
+    val pm = predicateMapFromSnapshot(spark, predFile.toString)
+    assert(pm.count() == 2)
+    assert(pm.filter(col("orig_predicate") === "biolink:affected_by")
+      .head().getAs[Boolean]("inverted"))
+    // and the loaded maps drive a real normalization
+    val edges = nodesDf("""{"subject":"HGNC:7432","predicate":"SEMMEDDB:CAUSES","object":"HGNC:7432"}""")
+    val (out, _) = normalizeEdges(edges, nm, pm, "infores:test")
+    assert(out.head().getAs[String]("subject") == "NCBIGene:4522")
+  }
+
   test("unknown predicate falls back to biolink:related_to (normalization.py:475)") {
     val edges = nodesDf(
       """{"subject":"HGNC:7432","predicate":"weird:predicate","object":"HGNC:18"}""")

@@ -25,6 +25,7 @@ class IngestPipelineSpec extends SparkSpec {
       if (!normalized) None
       else Some(Normalizer.predicateMapDf(s,
         Seq(Normalizer.PredicateNormEntry("raw:linked", "biolink:related_to"))))
+    override def nodeNormMapDefined: Boolean = normalized
   }
 
   test("runSource: parse→normalize stages recorded, meta sidecar written") {
@@ -35,9 +36,22 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.nodes.count() == 5)
     assert(r.edges.count() == 4)
     assert(r.edges.select("predicate").distinct().head().getString(0) == "biolink:related_to")
-    val meta = Files.readString(Paths.get(dir, "TESTSRC.meta.json"))
+    val meta = Files.readString(
+      Paths.get(dir, "TESTSRC", r.buildVersion, "TESTSRC.meta.json"))
     assert(meta.contains("\"build_version\""))
     assert(r.buildVersion.length == 16)
+  }
+
+  test("content-hash cache: second run skips all stages and reuses parquet") {
+    val dir = Files.createTempDirectory("ingest_cache").toString
+    val l = loader("CACHED", 1 to 7, normalized = true)
+    val first = IngestPipeline.runSource(spark, l, dir)
+    assert(first.stages.map(_.stage) == Seq("parsing", "normalization"))
+    val second = IngestPipeline.runSource(spark, l, dir)
+    assert(second.stages.map(_.stage) == Seq("cached"))
+    assert(second.buildVersion == first.buildVersion)
+    assert(second.nodes.count() == first.nodes.count())
+    assert(second.edges.count() == first.edges.count())
   }
 
   test("buildGraph: two sources through spec → merged bundle") {
@@ -51,7 +65,7 @@ class IngestPipelineSpec extends SparkSpec {
     // NORM ids 1..15 with overlap 6..10 merged
     assert(result.nodeCount == 15)
     assert(Files.exists(Paths.get(out, "graph-metadata.json")))
-    assert(Files.exists(Paths.get(out, "sources/A.meta.json")))
-    assert(Files.exists(Paths.get(out, "sources/B.meta.json")))
+    assert(Files.exists(Paths.get(out, "sources", "A")))
+    assert(Files.exists(Paths.get(out, "sources", "B")))
   }
 }
