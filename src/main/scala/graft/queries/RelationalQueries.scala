@@ -351,7 +351,29 @@ object RelationalQueries {
        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
        ORDER BY priority, status"""
 
+  /** Pivot (wide aggregation; beyond the reference — the schema-summary
+    * shape A12 turned sideways): events per user-decade × type. */
+  private val q17: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("user_decade", (col("user_id") / 10).cast("long"))
+      .groupBy(col("user_decade"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+      .orderBy(col("user_decade"))
+  }
+
+  private val q17Sql =
+    """SELECT user_id // 10 AS user_decade,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   val defs: Map[String, Q] = Map(
+    "q17_pivot"                  -> q17,
     "q01_pricing_summary"        -> q01,
     "q02_region_revenue"         -> q02,
     "q03_broadcast_type_share"   -> q03,
@@ -371,6 +393,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_pivot"                  -> q17Sql,
     "q13_json_props_scan"        -> q13Sql,
     "q14_sessionize"             -> q14Sql,
     "q15_edge_id_mapping"        -> q15Sql,

@@ -60,6 +60,15 @@ class GraphCsvSinkSpec extends SparkSpec {
     assert(manifest == Set("biolink_affects", "biolink_related_to"))
   }
 
+  test("writeSingleFile produces one gzip jsonl (KGX bundle compat)") {
+    val f = java.nio.file.Files.createTempDirectory("single").resolve("nodes.jsonl.gz").toString
+    graft.io.KgxIO.writeSingleFile(nodes, f)
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+    val lines = scala.io.Source.fromInputStream(in).getLines().toSeq
+    assert(lines.size == 2)
+    assert(lines.forall(_.startsWith("{")))
+  }
+
   test("memgraph index cypher: NamedThing name index + per-label id indexes") {
     val cypher = GraphCsvSink.memgraphIndexCypher(nodes)
     assert(cypher.startsWith("CREATE INDEX ON :`biolink:NamedThing`(name);"))
