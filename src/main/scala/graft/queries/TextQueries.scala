@@ -210,8 +210,51 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Full dedup decision: near-dup pairs (exact n-gram Jaccard, as q33) →
+    * connected components → canonical member per cluster. Oracle: recursive
+    * CTE transitive closure in DuckDB. */
+  private val q41: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.1, dfCap = 100)
+    graft.dedup.Components.canonicalize(docs.select(col("doc_id").as("id")), pairs)
+      .orderBy(col("id"))
+  }
+
+  private val q41Sql =
+    """WITH RECURSIVE
+       docs AS (
+         SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                 FROM docs WHERE len(shingles) > 0),
+       inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized),
+       hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
+       cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING round(CAST(count(*) AS DOUBLE) /
+                      (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) >= 0.1),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, comp) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       comp AS (SELECT id, min(comp) AS canonical FROM reach GROUP BY id)
+       SELECT d.doc_id AS id,
+              coalesce(c.canonical, d.doc_id) AS canonical_id,
+              d.doc_id <> coalesce(c.canonical, d.doc_id) AS is_duplicate
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       ORDER BY id"""
+
   val defs: Map[String, Q] = Map(
     "q40_ivf_ann"            -> q40,
+    "q41_dedup_clusters"     -> q41,
     "q30_token_stats"        -> q30,
     "q31_quality_score"      -> q31,
     "q32_langid"             -> q32,
@@ -225,6 +268,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_dedup_clusters"     -> q41Sql,
     "q30_token_stats"        -> q30Sql,
     "q31_quality_score"      -> q31Sql,
     "q32_langid"             -> q32Sql,
