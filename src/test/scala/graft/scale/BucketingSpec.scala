@@ -49,6 +49,27 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("salted join matches plain join results (skew guard correctness)") {
+    val li = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey")).groupBy("o_orderpriority").count()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority").count()
+    val p = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == q)
+  }
+
+  test("salted count matches plain count") {
+    val e = graft.Tables.events(spark, sf)
+    val plain = e.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(e, "event_type", salt = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
   test("parquet scans prune columns and push filters") {
     val li = graft.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 40)
