@@ -252,9 +252,21 @@ object TextQueries {
        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        ORDER BY id"""
 
+  /** Composed curation pipeline (score → filter → exact dedup → near-dup
+    * clusters) — rows-only (the MinHash stage has no SQL twin; stage
+    * semantics covered by TrainingDataPipelineSpec + q31/q32/q41 oracles). */
+  private val q42: Q = (s, dir) => {
+    graft.pipeline.TrainingDataPipeline
+      .curate(Tables.documents(s, dir), minQuality = 0.1, nearDupJaccard = 0.5)
+      .docs
+      .select(col("doc_id"), col("quality"), col("detected_lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q40_ivf_ann"            -> q40,
     "q41_dedup_clusters"     -> q41,
+    "q42_curation_pipeline"  -> q42,
     "q30_token_stats"        -> q30,
     "q31_quality_score"      -> q31,
     "q32_langid"             -> q32,
