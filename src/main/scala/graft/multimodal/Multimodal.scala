@@ -43,10 +43,13 @@ object Multimodal {
     out
   }
 
-  /** Partition-wise feature extraction — the mapInPandas/mapPartitions
-    * shape: one iterator pass, batched, no per-row JVM↔lib round trips.
+  /** Partition-wise feature extraction — the mapInPandas shape: the
+    * partition iterator is consumed in fixed-size BATCHES (a real decoder
+    * amortizes codec/model setup per batch, exactly like an Arrow batch
+    * crossing into pandas), one output row per input row.
     * Output: (media_id, kind, n_bytes, features[featureDim]). */
-  def extractFeatures(media: DataFrame, featureDim: Int = 16): DataFrame = {
+  def extractFeatures(media: DataFrame, featureDim: Int = 16,
+                      batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -54,14 +57,34 @@ object Multimodal {
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = false)))
     val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-          if (payload == null) 0 else payload.length,
-          decodeStub(payload, featureDim).toSeq)
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup seam: a real impl opens the codec/model ONCE here
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            if (payload == null) 0 else payload.length,
+            decodeStub(payload, featureDim).toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize stub: a real implementation rescales decoded pixels; the
+    * deterministic stand-in downsamples payload bytes by stride so output
+    * size contracts exactly like a resize would. Pure expression. */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    val payload = col("payload")
+    val resized = // every factor-th byte via substr+concat at binary level
+      org.apache.spark.sql.functions.expr(
+        s"cast(array_join(transform(sequence(1, length(payload), $factor), " +
+        s"i -> substring(cast(payload as string), i, 1)), '') as binary)")
+    media.withColumn("payload", resized)
+      .withColumn("meta", struct(
+        (col("meta.width") / factor).cast("int").as("width"),
+        (col("meta.height") / factor).cast("int").as("height"),
+        col("meta.duration_ms"), col("meta.codec")))
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size

@@ -27,6 +27,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(3L).forall(_ == 0.0f)) // empty payload → zero features
   }
 
+  test("batched iteration: batch boundaries don't change results") {
+    val big = Multimodal.fromText(
+      {
+        import spark.implicits._
+        (1L to 100L).map(i => (i, s"document number $i with some payload text")).toDF("id", "text")
+      }, "id", "text")
+    val b1 = Multimodal.extractFeatures(big, featureDim = 4, batchSize = 7).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    val b2 = Multimodal.extractFeatures(big, featureDim = 4, batchSize = 100).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    assert(b1 == b2)
+    assert(b1.size == 100)
+  }
+
+  test("resize stub contracts payload and metadata by the factor") {
+    val resized = Multimodal.resizeStub(media.filter(col("media_id") === 1L), factor = 2)
+    val r = resized.head()
+    // "hello multimodal world" = 22 bytes → every 2nd byte = 11
+    assert(r.getAs[Array[Byte]]("payload").length == 11)
+  }
+
   test("frame sampling: stride windows over payload bytes") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1L),
       frameBytes = 4, stride = 2)
