@@ -91,4 +91,34 @@ object GraphBundle {
 
     BundleResult(outDir, qc.nodeCount, qc.edgeCount, buildVersion)
   }
+
+  /** O5 — publish: promote a build-version directory to a release-version
+    * directory via staging + atomic rename (ref orion/cli/publish_graphs.py:
+    * 30-90). The staging copy means a crashed publish never leaves a
+    * half-visible release. */
+  def publish(buildDir: String, releaseDir: String): Unit = {
+    val src = Paths.get(buildDir)
+    require(Files.exists(src), s"build dir missing: $buildDir")
+    val release = Paths.get(releaseDir)
+    val staging = Paths.get(releaseDir + ".staging")
+    if (Files.exists(staging)) deleteRecursively(staging)
+    copyRecursively(src, staging)
+    if (Files.exists(release)) deleteRecursively(release)
+    Files.move(staging, release,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def copyRecursively(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(from).iterator().asScala.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
 }

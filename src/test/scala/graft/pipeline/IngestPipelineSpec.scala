@@ -68,4 +68,20 @@ class IngestPipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(out, "sources", "A")))
     assert(Files.exists(Paths.get(out, "sources", "B")))
   }
+
+  test("publish: atomic build→release promotion (O5)") {
+    val build = Files.createTempDirectory("build_v").toString
+    Files.writeString(Paths.get(build, "nodes.jsonl"), "{}\n")
+    Files.createDirectory(Paths.get(build, "sub"))
+    Files.writeString(Paths.get(build, "sub", "x.json"), "{}")
+    val release = build + "_release"
+    GraphBundle.publish(build, release)
+    assert(Files.exists(Paths.get(release, "nodes.jsonl")))
+    assert(Files.exists(Paths.get(release, "sub", "x.json")))
+    assert(!Files.exists(Paths.get(release + ".staging")))
+    // re-publish overwrites
+    Files.writeString(Paths.get(build, "extra.txt"), "v2")
+    GraphBundle.publish(build, release)
+    assert(Files.exists(Paths.get(release, "extra.txt")))
+  }
 }
