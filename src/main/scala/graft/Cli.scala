@@ -59,6 +59,8 @@ object Cli {
     case "memgraph-csv" =>
       GraphCsvSink.writeNeo4jNodes(spark.read.json(args(1)), args(3) + "/nodes")
       GraphCsvSink.writeMemgraphEdges(spark.read.json(args(2)), args(3) + "/edges")
+    case "publish" =>
+      GraphBundle.publish(args(1), args(2))
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }
