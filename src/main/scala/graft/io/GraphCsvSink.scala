@@ -65,7 +65,8 @@ object GraphCsvSink {
       case ArrayType(_, _) | _: StructType | _: MapType =>
         to_json(col(name)) // neo4j can't hold nested values; compact JSON
       case BooleanType => when(col(name), "true").otherwise("false")
-      case StringType if name == "name" => flattenWs(coalesce(col(name), col("id")))
+      case StringType if name == "name" && df.columns.contains("id") =>
+        flattenWs(coalesce(col(name), col("id"))) // null name → id (ref :354-356)
       case StringType => flattenWs(col(name))
       case _ => col(name).cast("string")
     }
