@@ -66,24 +66,38 @@ object Extractor {
     val nodes = subjects.unionByName(objects, allowMissingColumns = true)
       .dropDuplicates("id")
 
-    // multi-predicate fan-out as an explode over per-rule structs; each rule
-    // may carry different property columns → union the property namespace
-    val allEdgeProps = x.edges.flatMap(_.properties.keys).distinct
-    val edgeStructs = x.edges.map { r =>
-      val propCols = allEdgeProps.map(p =>
-        r.properties.getOrElse(p, lit(null)).as(p))
-      val payload = struct(Seq(r.predicate.cast("string").as("predicate"),
-        when(r.rowFilter, lit(true)).otherwise(lit(false)).as("_keep")) ++ propCols: _*)
-      payload
+    // multi-predicate fan-out: when every rule carries the same property
+    // keys the fan-out is a single-scan explode over per-rule structs;
+    // heterogeneous property sets would need type-unified null literals
+    // (not inferable pre-analysis), so those fall back to a per-rule
+    // unionByName — one scan per rule, columns pruned per rule.
+    val propKeySets = x.edges.map(_.properties.keySet).distinct
+    val edges = if (propKeySets.size <= 1) {
+      val props = x.edges.headOption.map(_.properties.keys.toSeq).getOrElse(Nil)
+      val edgeStructs = x.edges.map { r =>
+        struct(Seq(r.predicate.cast("string").as("predicate"),
+          when(r.rowFilter, lit(true)).otherwise(lit(false)).as("_keep")) ++
+          props.map(p => r.properties(p).as(p)): _*)
+      }
+      base
+        .select(x.subjectId.as(Biolink.Subject), x.objectId.as(Biolink.Object_),
+          explode(array(edgeStructs: _*)).as("_e"))
+        .filter(col("_e._keep") && col("_e.predicate").isNotNull)
+        .select(Seq(col(Biolink.Subject), col(Biolink.Object_),
+          col("_e.predicate").as(Biolink.Predicate),
+          lit(x.primaryKnowledgeSource).as(Biolink.PrimaryKnowledgeSource)) ++
+          props.map(p => col(s"_e.$p").as(p)): _*)
+    } else {
+      x.edges.map { r =>
+        base.filter(r.rowFilter)
+          .select(Seq(
+            x.subjectId.as(Biolink.Subject), x.objectId.as(Biolink.Object_),
+            r.predicate.cast("string").as(Biolink.Predicate),
+            lit(x.primaryKnowledgeSource).as(Biolink.PrimaryKnowledgeSource)) ++
+            r.properties.map { case (k, v) => v.as(k) }: _*)
+          .filter(col(Biolink.Predicate).isNotNull)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    val edges = base
-      .select(x.subjectId.as(Biolink.Subject), x.objectId.as(Biolink.Object_),
-        explode(array(edgeStructs: _*)).as("_e"))
-      .filter(col("_e._keep") && col("_e.predicate").isNotNull)
-      .select(Seq(col(Biolink.Subject), col(Biolink.Object_),
-        col("_e.predicate").as(Biolink.Predicate),
-        lit(x.primaryKnowledgeSource).as(Biolink.PrimaryKnowledgeSource)) ++
-        allEdgeProps.map(p => col(s"_e.$p").as(p)): _*)
 
     ExtractedGraph(nodes, edges)
   }

@@ -68,6 +68,26 @@ class ExtractorSpec extends SparkSpec {
     assert(g.edges.filter(col("predicate") === "biolink:has_publication").count() == 3)
   }
 
+  test("heterogeneous per-rule properties fan out via union path") {
+    val df = readDelimited(spark, fixturePath)
+    val g = Extractor.extract(df, Extraction(
+      subjectId = col("hgnc_id"),
+      objectId = lit("UNIVERSE:1"),
+      edges = Seq(
+        EdgeRule(lit("biolink:related_to"),
+          properties = Map("symbol" -> col("symbol"))),
+        EdgeRule(lit("biolink:has_publication"),
+          rowFilter = col("pubmed_id").isNotNull,
+          properties = Map("publications" ->
+            transform(split(col("pubmed_id").cast("string"), "\\|"),
+              p => concat(lit("PMID:"), p)))))))
+    assert(g.edges.count() == 7)
+    val pub = g.edges.filter(col("predicate") === "biolink:has_publication" &&
+      col("subject") === "HGNC:5").head()
+    assert(pub.getSeq[String](pub.fieldIndex("publications")) == Seq("PMID:2591067"))
+    assert(pub.isNullAt(pub.fieldIndex("symbol"))) // other rule's prop null
+  }
+
   test("filterBySet keeps only allowed ids (P3)") {
     val df = readDelimited(spark, fixturePath)
     val kept = filterBySet(df, col("hgnc_id"), Set("HGNC:5", "HGNC:7"))
