@@ -49,8 +49,13 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    // docs too short to shingle have no minhash identity — drop them here,
+    // or every empty doc would share the all-sentinel signature and
+    // band-collide with every other empty doc
+    val sigs = df
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band hash = xxhash64 of the band's slice, exploded to (band, bucket, id).
     // Only (band, bucket, id) enters the self-join — the wide signature is

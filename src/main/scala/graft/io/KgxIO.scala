@@ -49,10 +49,13 @@ object KgxIO {
     val tmp = file + ".spark-tmp"
     writeJsonl(df.coalesce(1), tmp, dedupKeys = Nil, gzip = gzip)
     val dir = new java.io.File(tmp)
-    val part = dir.listFiles().find(f => f.getName.startsWith("part-")).get
     val dest = new java.io.File(file)
     if (dest.exists()) dest.delete()
-    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dir.listFiles().find(f => f.getName.startsWith("part-")) match {
+      case Some(part) => java.nio.file.Files.move(part.toPath, dest.toPath)
+      case None => // empty DataFrame → empty bundle file
+        java.nio.file.Files.createFile(dest.toPath)
+    }
     dir.listFiles().foreach(_.delete()); dir.delete()
   }
 
