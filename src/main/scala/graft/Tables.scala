@@ -25,7 +25,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` on longs is double division in Spark and loses
+      // the low bits of an epoch-nanos value (2^61 > 2^53) — off-by-1µs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")

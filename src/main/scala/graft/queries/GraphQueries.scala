@@ -80,7 +80,7 @@ object GraphQueries {
   }
 
   private val q21Sql =
-    """SELECT count(*) AS n_edges, count(*) AS n_distinct_ids, sum(n) AS n_rows FROM (
+    """SELECT count(*) AS n_edges, count(*) AS n_distinct_ids, CAST(sum(n) AS BIGINT) AS n_rows FROM (
          SELECT l_orderkey, l_partkey, count(*) AS n
          FROM lineitem GROUP BY l_orderkey, l_partkey)"""
 
@@ -248,7 +248,7 @@ object GraphQueries {
   }
 
   private val q27Sql =
-    """SELECT is_source, count(*) AS n_node_pred_pairs, sum(n_links) AS total_links FROM (
+    """SELECT is_source, count(*) AS n_node_pred_pairs, CAST(sum(n_links) AS BIGINT) AS total_links FROM (
          SELECT node, predicate, is_source, count(DISTINCT other) AS n_links FROM (
            SELECT 'SUPP:' || l_suppkey AS node, 'supplies' AS predicate, true AS is_source, 'PART:' || l_partkey AS other FROM lineitem
            UNION ALL

@@ -221,8 +221,8 @@ object RelationalQueries {
 
   private val q10Sql =
     """SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2 THEN 'clicky'
             WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -281,7 +281,7 @@ object RelationalQueries {
   }
 
   private val q13Sql =
-    """SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+    """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
        FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
        GROUP BY event_type ORDER BY event_type"""
 
@@ -290,8 +290,8 @@ object RelationalQueries {
   private val q14: Q = (s, dir) => {
     graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
       .select(col("user_id"), col("n_events"), col("total_value"),
-        floor(col("started").cast("double") * 1000).cast("long").as("started_ms"),
-        floor(col("ended").cast("double") * 1000).cast("long").as("ended_ms"))
+        unix_millis(col("started")).as("started_ms"),
+        unix_millis(col("ended")).as("ended_ms"))
       .orderBy(col("user_id"), col("started_ms"))
   }
 
@@ -365,11 +365,11 @@ object RelationalQueries {
 
   private val q17Sql =
     """SELECT user_id // 10 AS user_decade,
-              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
        FROM events GROUP BY 1 ORDER BY 1"""
 
   val defs: Map[String, Q] = Map(

@@ -34,9 +34,9 @@ object TextQueries {
 
   private val q30Sql =
     """SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) AS total_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_bpeish,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
        round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END), 4) AS avg_tokens
        FROM documents GROUP BY lang ORDER BY lang"""

@@ -87,7 +87,7 @@ object EventStreams {
       .withColumn("_prev", lag(col("ts"), 1).over(w))
       .withColumn("_new_session",
         when(col("_prev").isNull ||
-          (col("ts").cast("double") - col("_prev").cast("double")) * 1000 > gapMs, 1).otherwise(0))
+          (unix_micros(col("ts")) - unix_micros(col("_prev"))) > gapMs * 1000L, 1).otherwise(0))
       .withColumn("_session_no", sum(col("_new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("_session_no"))

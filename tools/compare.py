@@ -24,11 +24,11 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 
 def norm(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    # round floats to kill ulp noise in the comparison itself
+    # normalize timestamp resolution (ns vs us) but keep every other dtype
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 fails = 0
@@ -46,9 +46,14 @@ for name in sorted(oracle):
         fails += 1; continue
     if len(got) != len(exp):
         print(f"ROWS     {name}: spark={len(got)} duck={len(exp)}"); fails += 1; continue
+    # hash-exact gate: dtype *kind* must match (int-vs-float is the driver's
+    # HUGEINT failure class), then values compare exactly — no tolerance.
+    kind_mismatch = [(c, got[c].dtype.kind, exp[c].dtype.kind)
+                     for c in got.columns if got[c].dtype.kind != exp[c].dtype.kind]
+    if kind_mismatch:
+        print(f"DTYPE    {name}: {kind_mismatch}"); fails += 1; continue
     try:
-        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                      check_exact=False, rtol=1e-6, atol=1e-6)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
         print(f"OK       {name} ({len(got)} rows)")
     except AssertionError as e:
         print(f"VALUES   {name}: {str(e).splitlines()[-1]}")
