@@ -29,19 +29,13 @@ object Dedup {
       .groupBy(col("_fp").as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** k minhash values as an array column: elementwise min over per-shingle
-    * hash vectors (hash(seed || shingle) for k seeds). Single pass over the
-    * shingle array — k separate array_min(transform(...)) expressions would
-    * re-evaluate the shingle subtree k times (no CSE across lambdas). */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = array_distinct(TextOps.shingles(text, shingleN))
-    aggregate(sh,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)),
-          i => xxhash64(concat(i.cast("string"), lit(":"), s))),
-        (a, h) => least(a, h)))
-  }
+  /** k minhash values as an array column — a single codegen pass over the
+    * row's shingle hashes (graft.functions.MinHashSignature). The earlier
+    * aggregate/zip_with formulation went through interpreted lambda
+    * plumbing; duplicates need no explicit array_distinct since min() is
+    * idempotent over repeats. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    graft.functions.TextExpressions.minhashSignature(TextOps.tokens(text), shingleN, k)
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures.
     * bands·rowsPerBand must equal the signature length. Returns
@@ -52,7 +46,7 @@ object Dedup {
     // docs too short to shingle have no minhash identity — drop them here,
     // or every empty doc would share the all-sentinel signature and
     // band-collide with every other empty doc
-    val sigs = df
+    val sigs = graft.scale.Skew.ensureParallelism(df)
       .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleN, k).as("sig"))
@@ -72,13 +66,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    pairs
+    val out = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("estimated_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .select(col("id_a"), col("id_b"), col("estimated_jaccard"))
+      // eagerly materialize the (small) pair result while sigs is cached,
+      // then release the cache — a lazy return could never unpersist safely
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard pairs via a shingle inverted index:
@@ -88,22 +87,24 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 5, minJaccard: Double = 0.8,
                         dfCap: Int = 100): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shingles"))
+    // distinct 8-byte shingle hashes straight from the codegen expression —
+    // no per-window string materialization
+    val docs = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.distinctShingleHashes(
+          TextOps.tokens(col(textCol)), shingleN).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
       .filter(col("n_shingles") > 0)
-    // join on the hashed shingle (8-byte key) and cache the inverted index:
-    // the self-join's two branches and the hot-shingle pass would otherwise
-    // recompute the whole explode lineage 4×, shuffling full strings
+    // cache the inverted index: the self-join's two branches and the
+    // hot-shingle pass would otherwise recompute the explode lineage 4×
     val inverted = docs
-      .select(col("id"), col("n_shingles"), explode(col("shingles")).as("_shingle_str"))
-      .select(col("id"), col("n_shingles"), xxhash64(col("_shingle_str")).as("shingle"))
+      .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = inverted.groupBy("shingle").count().filter(col("count") > dfCap).select("shingle")
     val cold = inverted.join(hot, Seq("shingle"), "left_anti")
     val a = cold.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("n_a"))
     val b = cold.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("n_b"))
-    a.join(b, Seq("shingle"))
+    val out = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -111,23 +112,17 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // materialize the small pair set, then drop the inverted-index cache
+      .localCheckpoint()
+    inverted.unpersist()
+    out
   }
 
-  /** 64-bit SimHash as a pure expression: sum ±1 per bit over token hashes,
-    * sign → bit. Bit i of hash h contributes +1 when set else -1; the final
-    * bit is 1 when the sum is positive. */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    val counts = aggregate(
-      tokenHashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  /** 64-bit SimHash: sum ±1 per bit over token hashes, sign → bit — one
+    * codegen loop (graft.functions.SimHash64) instead of a 64-wide
+    * interpreted zip per token. */
+  def simhash(text: Column): Column =
+    graft.functions.TextExpressions.simhash64(TextOps.tokens(text))
 
   /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
     * 16-bit blocks; docs matching on any block are candidates (guaranteed to
@@ -136,7 +131,8 @@ object Dedup {
                         blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
     // simhash is the expensive part (64-wide zip per token) — compute once
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+    val hashed = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = hashed.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
@@ -145,10 +141,14 @@ object Dedup {
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
     val a = blocked.select(col("block"), col("key"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = blocked.select(col("block"), col("key"), col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("block", "key"))
+    val out = a.join(b, Seq("block", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .select(col("id_a"), col("id_b"), col("hamming"))
+      // materialize the small pair set, then drop the simhash cache
+      .localCheckpoint()
+    hashed.unpersist()
+    out
   }
 }

@@ -23,15 +23,18 @@ object TrainingDataPipeline {
       input: Long, afterQualityFilter: Long, afterExactDedup: Long,
       afterNearDedup: Long)
 
-  final case class Curated(docs: DataFrame, stats: CurationStats)
+  final case class Curated(docs: DataFrame, stats: Option[CurationStats])
 
+  /** @param computeStats when true, runs one extra `count()` per stage to
+    *   fill [[CurationStats]]; the default keeps the hot path free of eager
+    *   actions (same escape hatch as `Normalizer.computeStats`). */
   def curate(documents: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.2,
              allowedLangs: Option[Seq[String]] = None,
              nearDupJaccard: Double = 0.5,
-             shingleN: Int = 3): Curated = {
-    val input = documents.count()
+             shingleN: Int = 3,
+             computeStats: Boolean = false): Curated = {
 
     // 1. score + filter
     val scored = documents
@@ -43,14 +46,14 @@ object TrainingDataPipeline {
       case Some(ls) => filtered0.filter(col("detected_lang").isin(ls: _*))
       case None => filtered0
     }
-    val afterQuality = filtered.count()
 
-    // 2. exact dedup: keep min id per fingerprint
+    // 2. exact dedup: keep min id per fingerprint. Materialized once
+    //    (eager, lineage cut, blocks auto-released) — LSH banding, the
+    //    component join and the final semi-join all re-enter this set.
     val withFp = filtered.withColumn("_fp", TextOps.fingerprint(col(textCol)))
     val keepIds = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
     val exactDeduped = withFp.join(keepIds, Seq("_fp", idCol), "left_semi").drop("_fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterExact = exactDeduped.count()
+      .localCheckpoint()
 
     // 3. near-dup clustering: LSH candidates filtered by estimated jaccard,
     //    components, keep canonical member only
@@ -61,8 +64,11 @@ object TrainingDataPipeline {
     val survivors = exactDeduped.join(
       decisions.filter(!col("is_duplicate")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
-    val afterNear = survivors.count()
 
-    Curated(survivors, CurationStats(input, afterQuality, afterExact, afterNear))
+    val stats =
+      if (!computeStats) None
+      else Some(CurationStats(documents.count(), filtered.count(),
+        exactDeduped.count(), survivors.count()))
+    Curated(survivors, stats)
   }
 }

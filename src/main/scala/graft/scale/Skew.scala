@@ -40,4 +40,15 @@ object Skew {
       .groupBy(col(key)).count()
       .filter(col("count") > (threshold * sampleFraction).toLong)
       .select(col(key))
+
+  /** Widen under-partitioned input before an expensive per-row expression
+    * (interpreted higher-order functions, hashing sweeps). A small parquet
+    * table arrives as ONE split and would pin the whole sweep to one core;
+    * at scale the scan already has ≥ defaultParallelism splits and this is
+    * a no-op — no shuffle is added on the 100 TB path. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, want / 2)) df
+    else df.repartition(want)
+  }
 }

@@ -27,7 +27,13 @@ object Ivf {
   def train(corpus: DataFrame, nlist: Int, iters: Int = 10,
             vecCol: String = "embedding", sampleCap: Int = 10000,
             seed: Long = 42L): IvfIndex = {
-    val sample = corpus.select(col(vecCol)).limit(sampleCap).collect()
+    // random sample across ALL partitions, not limit(): limit takes the
+    // first files' rows, so at scale the quantizer would train on one
+    // source's distribution and every other cell would sit empty
+    val n = corpus.count()
+    val fraction = if (n <= sampleCap) 1.0 else math.min(1.0, sampleCap * 1.2 / n)
+    val sample = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .limit(sampleCap).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length

@@ -17,6 +17,22 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).map(comps) == Seq(20L, 20L, 20L))
   }
 
+  test("distributed large-star/small-star path matches union-find (driverThreshold=0)") {
+    import spark.implicits._
+    // long chain (worst case for plain label propagation) + clique + pair
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val rest = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val pairs = (chain ++ rest).toDF("id_a", "id_b")
+    val dist = Components.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local)
+    assert((0L to 40L).forall(dist(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(dist(_) == 100L))
+    assert(dist(201L) == 200L)
+  }
+
   test("canonicalize marks non-canonical members as duplicates") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 99L).toDF("id")

@@ -16,11 +16,13 @@ class TrainingDataPipelineSpec extends SparkSpec {
       (4L, "a completely different document with the usual quality of words that it is made of")
     ).toDF("doc_id", "text")
 
-    val out = TrainingDataPipeline.curate(docs, minQuality = 0.2, nearDupJaccard = 0.5)
-    assert(out.stats.input == 5)
-    assert(out.stats.afterQualityFilter == 4)  // junk removed
-    assert(out.stats.afterExactDedup == 3)     // id 2 removed
-    assert(out.stats.afterNearDedup == 2)      // id 1 removed
+    val out = TrainingDataPipeline.curate(docs, minQuality = 0.2, nearDupJaccard = 0.5,
+      computeStats = true)
+    val stats = out.stats.get
+    assert(stats.input == 5)
+    assert(stats.afterQualityFilter == 4)  // junk removed
+    assert(stats.afterExactDedup == 3)     // id 2 removed
+    assert(stats.afterNearDedup == 2)      // id 1 removed
     val survivors = out.docs.select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(0L, 4L))
     // scoring columns present on the output
@@ -30,9 +32,11 @@ class TrainingDataPipelineSpec extends SparkSpec {
 
   test("curate on the synthetic corpus keeps most docs (no pathological drop)") {
     val docs = graft.Tables.documents(spark, sf)
-    val out = TrainingDataPipeline.curate(docs, minQuality = 0.1, nearDupJaccard = 0.9)
-    assert(out.stats.input == 500)
-    assert(out.stats.afterNearDedup > 400) // word-soup corpus: few 0.9-dups
-    assert(out.stats.afterNearDedup <= out.stats.afterExactDedup)
+    val out = TrainingDataPipeline.curate(docs, minQuality = 0.1, nearDupJaccard = 0.9,
+      computeStats = true)
+    val stats = out.stats.get
+    assert(stats.input == 500)
+    assert(stats.afterNearDedup > 400) // word-soup corpus: few 0.9-dups
+    assert(stats.afterNearDedup <= stats.afterExactDedup)
   }
 }
