@@ -10,14 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object CtdRules {
 
-  /** P4 — predicate cleaning: `/`, ` `, `^` → `_`, then conversion map. */
+  /** P4 — predicate cleaning: `/`, ` `, `^` → `_`, then the conversion map
+    * (loadCTD.py:32-36). */
   val predicateConversionMap: Map[String, String] = Map(
-    "increases_expression" -> "biolink:increases_expression_of",
-    "decreases_expression" -> "biolink:decreases_expression_of",
-    "increases_activity" -> "biolink:increases_activity_of",
-    "decreases_activity" -> "biolink:decreases_activity_of",
-    "increases_molecular_interaction" -> "biolink:increases_molecular_interaction",
-    "decreases_molecular_interaction" -> "biolink:decreases_molecular_interaction")
+    "CTD:decreases_molecular_interaction_with" -> "CTD:decreases_molecular_interaction",
+    "CTD:increases_molecular_interaction_with" -> "CTD:increases_molecular_interaction",
+    "CTD:ameliorates" -> "biolink:treats_or_applied_or_studied_to_treat")
 
   def cleanPredicate(predicate: Column): Column = {
     val cleaned = regexp_replace(predicate, "[/ ^]", "_")

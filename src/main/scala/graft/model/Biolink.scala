@@ -19,6 +19,19 @@ object Biolink {
   val RelatedTo = "biolink:related_to"
   val NamedThing = "biolink:NamedThing"
 
+  // knowledge-level / agent-type vocabulary
+  // (ref orion/biolink_constants.py KNOWLEDGE_LEVEL/AGENT_TYPE enums)
+  val KnowledgeLevel = "knowledge_level"
+  val AgentType = "agent_type"
+  val KnowledgeAssertion = "knowledge_assertion"
+  val Prediction = "prediction"
+  val NotProvided = "not_provided"
+  val ManualAgent = "manual_agent"
+  val AutomatedAgent = "automated_agent"
+  val ComputationalModel = "computational_model"
+  val ManualValidationOfAutomatedAgent = "manual_validation_of_automated_agent"
+  val Publications = "publications"
+
   val qualifierKeys: Set[String] = Set(
     "anatomical_context_qualifier", "causal_mechanism_qualifier",
     "context_qualifier", "derivative_qualifier", "disease_context_qualifier",

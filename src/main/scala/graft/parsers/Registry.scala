@@ -1,0 +1,30 @@
+package graft.parsers
+
+import org.apache.spark.sql.SparkSession
+import graft.extract.Extractor.ExtractedGraph
+
+/** Parser registry (ref orion/data_sources.py:70-133 — the reference
+  * registers 62 loaders by source id; this table registers the graft
+  * implementations by the same ids so pipeline specs can name them).
+  * Each entry maps (spark, dataDir) → ExtractedGraph where dataDir holds
+  * the already-fetched source files under their canonical names. */
+object Registry {
+
+  type Parser = (SparkSession, String) => ExtractedGraph
+
+  val parsers: Map[String, Parser] = Map(
+    "HGNC" -> ((s, dir) => Hgnc.parse(s, s"$dir/hgnc_complete_set.txt")),
+    "HumanGOA" -> ((s, dir) =>
+      Goa.parse(s, s"$dir/goa_human.gaf.gz", taxonFilter = Some(Set("taxon:9606")))),
+    "GOA" -> ((s, dir) => Goa.parse(s, s"$dir/goa.gaf")),
+    "UbergraphNonredundant" -> ((s, dir) =>
+      UberGraph.parse(s, s"$dir/nonredundant-graph-table.tgz", "nonredundant-graph-table")),
+    "CTD" -> ((s, dir) =>
+      CtdChemGene.parse(s, s"$dir/CTD_chem_gene_ixns_structured.tar.gz")),
+    "GTEx-eqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/eqtl.tar", isSqtl = false)),
+    "GTEx-sqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/sqtl.tar", isSqtl = true)))
+
+  def apply(sourceId: String): Parser =
+    parsers.getOrElse(sourceId, throw new IllegalArgumentException(
+      s"unknown source id: $sourceId (registered: ${parsers.keys.toSeq.sorted.mkString(", ")})"))
+}

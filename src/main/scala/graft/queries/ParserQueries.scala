@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.parsers.{CtdChemGene, Hgnc, UberGraph}
+
+/** Parser-pipeline queries over the checked-in source fixtures: the Spark
+  * side parses the REAL archives (tar.gz / tgz — exercising the S6 path),
+  * the DuckDB oracle re-derives the same edges from the sibling text
+  * fixtures, so both the archive readers and the parse semantics sit
+  * behind the hash-exact gate.
+  *
+  * The fixture paths are absolute (the fixtures are part of the repo, not
+  * the scale-factor testdata) — the sfDir argument is ignored.
+  */
+object ParserQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val res = "/root/repo/src/test/resources/parsers"
+
+  /** HGNC gene→family membership edges with publication counts. */
+  private val q43: Q = (s, _) => {
+    Hgnc.parse(s, s"$res/hgnc/hgnc_complete_set.txt").edges
+      .select(col("subject"), col("predicate"), col("object"),
+        when(col("publications").isNull, 0).otherwise(size(col("publications")))
+          .cast("long").as("n_pubs"))
+      .orderBy(col("subject"), col("object"))
+  }
+
+  private val q43Sql =
+    s"""SELECT hgnc_id AS subject, 'RO:0002350' AS predicate,
+              'HGNC.FAMILY:' || gid AS object,
+              CAST(CASE WHEN pubmed_id IS NULL OR pubmed_id = '' THEN 0
+                   ELSE len(string_split(pubmed_id, '|')) END AS BIGINT) AS n_pubs
+       FROM (SELECT hgnc_id, pubmed_id, unnest(string_split(gene_group_id, '|')) AS gid
+             FROM read_csv('$res/hgnc/hgnc_complete_set.txt', delim='\t', header=true, all_varchar=true)
+             WHERE gene_group_id IS NOT NULL AND gene_group_id <> '')
+       ORDER BY subject, object"""
+
+  /** CTD chem-gene edges out of the tar.gz with the evidence gates. */
+  private val q44: Q = (s, _) => {
+    CtdChemGene.parse(s, s"$res/ctd/CTD_chem_gene_ixns_structured.tar.gz",
+        "CTD_chem_gene_ixns_structured.tsv").edges
+      .select(col("subject"), col("predicate"), col("object"), col("taxon"),
+        size(col("publications")).cast("long").as("n_pubs"))
+      .orderBy(col("subject"), col("predicate"), col("object"))
+  }
+
+  private val q44Sql = {
+    val needs3 = Seq(
+      "affects expression of", "increases expression of", "decreases expression of",
+      "affects methylation of", "increases methylation of", "decreases methylation of",
+      "affects molecular modification of", "increases molecular modification of",
+      "decreases molecular modification of").map(s => s"'$s'").mkString(", ")
+    val needs2 = Seq("affects splicing of", "increases splicing of", "decreases splicing of")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH raw AS (
+         SELECT * FROM read_csv('$res/ctd/CTD_chem_gene_ixns_structured.tsv',
+                                delim='\t', header=true, all_varchar=true)),
+       good AS (
+         SELECT *, len(string_split(PMID, '|')) AS n_pubs FROM raw
+         WHERE NOT (coalesce(chemicalID,'') || coalesce(chem_label,'') || coalesce(interaction,'')
+                    || coalesce(direction,'') || coalesce(geneID,'') || coalesce(gene_label,'')
+                    || coalesce(form,'') || coalesce(taxonID,'') || coalesce(PMID,'') LIKE '%?%')
+           AND NOT (len(string_split(PMID, '|')) < 3 AND interaction IN ($needs3))
+           AND NOT (len(string_split(PMID, '|')) < 2 AND interaction IN ($needs2))),
+       mapped AS (
+         SELECT CASE WHEN direction = '->' THEN upper(chemicalID) ELSE upper(geneID) END AS subject,
+                CASE regexp_replace('CTD:' || interaction, '[/ ^]', '_', 'g')
+                  WHEN 'CTD:decreases_molecular_interaction_with' THEN 'CTD:decreases_molecular_interaction'
+                  WHEN 'CTD:increases_molecular_interaction_with' THEN 'CTD:increases_molecular_interaction'
+                  WHEN 'CTD:ameliorates' THEN 'biolink:treats_or_applied_or_studied_to_treat'
+                  ELSE regexp_replace('CTD:' || interaction, '[/ ^]', '_', 'g') END AS predicate,
+                CASE WHEN direction = '->' THEN upper(geneID) ELSE upper(chemicalID) END AS object,
+                'NCBITaxon:' || string_split(taxonID, ':')[-1] AS taxon,
+                CAST(n_pubs AS BIGINT) AS n_pubs
+         FROM good)
+       SELECT * FROM mapped ORDER BY subject, predicate, object"""
+  }
+
+  /** UberGraph triples resolved through the label tables in the tgz. */
+  private val q45: Q = (s, _) => {
+    UberGraph.parse(s, s"$res/ubergraph/nonredundant-graph-table.tgz",
+        "nonredundant-graph-table").edges
+      .select(col("subject"), col("predicate"), col("object"))
+      .orderBy(col("subject"), col("predicate"), col("object"))
+  }
+
+  private val q45Sql = {
+    val base = s"$res/ubergraph/nonredundant-graph-table"
+    s"""WITH compress AS (
+         SELECT 'n' AS kind, column0 AS id,
+                CASE WHEN regexp_matches(column1, '^http://purl\\.obolibrary\\.org/obo/[A-Za-z0-9]+_[^/]+$$')
+                     THEN regexp_extract(column1, '^http://purl\\.obolibrary\\.org/obo/([A-Za-z0-9]+)_([^/]+)$$', 1)
+                          || ':' || regexp_extract(column1, '^http://purl\\.obolibrary\\.org/obo/([A-Za-z0-9]+)_([^/]+)$$', 2)
+                     WHEN column1 LIKE 'http://www.w3.org/2000/01/rdf-schema#%'
+                     THEN 'rdfs:' || replace(column1, 'http://www.w3.org/2000/01/rdf-schema#', '')
+                     ELSE NULL END AS curie
+         FROM read_csv('$base/node-labels.tsv', delim='\t', header=false, all_varchar=true)
+         UNION ALL
+         SELECT 'e', column0,
+                CASE WHEN regexp_matches(column1, '^http://purl\\.obolibrary\\.org/obo/[A-Za-z0-9]+_[^/]+$$')
+                     THEN regexp_extract(column1, '^http://purl\\.obolibrary\\.org/obo/([A-Za-z0-9]+)_([^/]+)$$', 1)
+                          || ':' || regexp_extract(column1, '^http://purl\\.obolibrary\\.org/obo/([A-Za-z0-9]+)_([^/]+)$$', 2)
+                     WHEN column1 LIKE 'http://www.w3.org/2000/01/rdf-schema#%'
+                     THEN 'rdfs:' || replace(column1, 'http://www.w3.org/2000/01/rdf-schema#', '')
+                     ELSE NULL END
+         FROM read_csv('$base/edge-labels.tsv', delim='\t', header=false, all_varchar=true))
+       SELECT sn.curie AS subject, pe.curie AS predicate, son.curie AS object
+       FROM read_csv('$base/edges.tsv', delim='\t', header=false, all_varchar=true) t
+       JOIN compress sn  ON sn.kind = 'n' AND sn.id = t.column0 AND sn.curie IS NOT NULL
+       JOIN compress pe  ON pe.kind = 'e' AND pe.id = t.column1 AND pe.curie IS NOT NULL
+       JOIN compress son ON son.kind = 'n' AND son.id = t.column2 AND son.curie IS NOT NULL
+       ORDER BY subject, predicate, object"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q43_hgnc_parse"      -> q43,
+    "q44_ctd_chem_gene"   -> q44,
+    "q45_ubergraph_parse" -> q45)
+
+  val oracles: Map[String, String] = Map(
+    "q43_hgnc_parse"      -> q43Sql,
+    "q44_ctd_chem_gene"   -> q44Sql,
+    "q45_ubergraph_parse" -> q45Sql)
+}

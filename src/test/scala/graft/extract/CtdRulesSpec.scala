@@ -28,10 +28,12 @@ class CtdRulesSpec extends SparkSpec {
 
   test("predicate cleaning with conversion map (:528-545)") {
     import spark.implicits._
-    val out = Seq("increases^expression", "affects binding", "odd/predicate")
+    val out = Seq("CTD:ameliorates", "CTD:increases_molecular interaction_with",
+      "affects binding", "odd/pred^icate")
       .toDF("p").select(CtdRules.cleanPredicate(col("p")).as("c"))
       .collect().map(_.getString(0)).toSeq
-    assert(out == Seq("biolink:increases_expression_of", "affects_binding", "odd_predicate"))
+    assert(out == Seq("biolink:treats_or_applied_or_studied_to_treat",
+      "CTD:increases_molecular_interaction", "affects_binding", "odd_pred_icate"))
   }
 
   test("grouped chem-disease edges vote + publication union") {

@@ -1,0 +1,129 @@
+package graft.parsers
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Fixture-driven parser tests with exact node/edge counts, mirroring the
+  * reference's loader tests (tests/test_loaders.py:33-47 asserts exact
+  * line counts per source). Fixtures live in
+  * src/test/resources/parsers/ as real tar.gz/tgz/zip/gz archives plus
+  * their reviewable text sources. */
+class ParsersSpec extends SparkSpec {
+
+  private val res = "src/test/resources/parsers"
+
+  test("HGNC: groups fan out, empty gene_group_id skipped, PMID curies") {
+    val g = Hgnc.parse(spark, s"$res/hgnc/hgnc_complete_set.txt")
+    assert(g.edges.count() == 4) // 1 + 1 + 2 groups; A1BG-AS1 skipped
+    assert(g.nodes.count() == 7) // 3 genes + 4 families
+    val e5 = g.edges.filter(col("subject") === "HGNC:5").head()
+    assert(e5.getAs[String]("predicate") == "RO:0002350")
+    assert(e5.getAs[String]("object") == "HGNC.FAMILY:594")
+    assert(e5.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:2591067"))
+    assert(e5.getAs[String]("knowledge_level") == "knowledge_assertion")
+    val fam = g.nodes.filter(col("id") === "HGNC.FAMILY:1491").head()
+    assert(fam.getAs[String]("name") == "Nucleoporins")
+    val gene = g.nodes.filter(col("id") === "HGNC:24086").head()
+    assert(gene.getAs[String]("symbol") == "A4GALT")
+    // no publications on the pubmed-less edge
+    assert(g.edges.filter(col("subject") === "HGNC:24086")
+      .head().getAs[scala.collection.Seq[String]]("publications") == null)
+  }
+
+  test("GOA: aspect defaults, negation dropped, evidence → KL/AT, PMID refs") {
+    val g = Goa.parse(spark, s"$res/goa/goa.gaf")
+    assert(g.edges.count() == 3) // NOT|enables row dropped from edges
+    // ...but its endpoints still become nodes: the reference extractor only
+    // drops nodes of predicate-less rows with exclude_unconnected_nodes,
+    // off by default (orion/extractor.py:113-124)
+    assert(g.nodes.count() == 8)
+    val byPred = g.edges.collect().map(r =>
+      r.getAs[String]("subject") -> r).toMap
+    val r1 = byPred("UniProtKB:P12345")
+    assert(r1.getAs[String]("predicate") == "RO:0002327") // enables
+    assert(r1.getAs[String]("knowledge_level") == "knowledge_assertion")
+    assert(r1.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1"))
+    val r2 = byPred("MGI:101757")
+    assert(r2.getAs[String]("predicate") == "RO:0002331") // aspect P default
+    assert(r2.getAs[String]("agent_type") == "automated_agent") // IEA
+    assert(r2.getAs[scala.collection.Seq[String]]("publications") == null) // GO_REF only
+    val r4 = byPred("UniProtKB:P11111")
+    assert(r4.getAs[String]("predicate") == "BFO:0000050") // part_of
+    assert(r4.getAs[String]("knowledge_level") == "not_provided") // unknown code
+    assert(r4.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:7"))
+    // subject taxon prop, prefixed-id passthrough (MGI:101757 not MGI:MGI:...)
+    val mgi = g.nodes.filter(col("id") === "MGI:101757").head()
+    assert(mgi.getAs[String]("taxon") == "NCBITaxon:10090")
+  }
+
+  test("GOA: taxon filter set (HumanGOA) reads gz and drops other taxa") {
+    val g = Goa.parse(spark, s"$res/goa/goa_human.gaf.gz",
+      taxonFilter = Some(Set("taxon:9606")))
+    assert(g.edges.count() == 2)
+    assert(g.edges.filter(col("subject") === "MGI:101757").count() == 0)
+  }
+
+  test("UberGraph: tgz members join to curies, unmappable rows skipped") {
+    val g = UberGraph.parse(spark, s"$res/ubergraph/nonredundant-graph-table.tgz",
+      "nonredundant-graph-table")
+    assert(g.edges.count() == 2)
+    assert(g.nodes.count() == 3)
+    val preds = g.edges.select("predicate").collect().map(_.getString(0)).toSet
+    assert(preds == Set("rdfs:subClassOf", "BFO:0000050"))
+    val sub = UberGraph.parse(spark, s"$res/ubergraph/nonredundant-graph-table.tgz",
+      "nonredundant-graph-table", onlySubclassEdges = true)
+    assert(sub.edges.count() == 1)
+    val e = sub.edges.head()
+    assert(e.getAs[String]("subject") == "UBERON:0000001")
+    assert(e.getAs[String]("object") == "CL:0000000")
+  }
+
+  test("CTD chem-gene: '?' rows and pub-count gates drop, direction swaps") {
+    val g = CtdChemGene.parse(spark, s"$res/ctd/CTD_chem_gene_ixns_structured.tar.gz",
+      "CTD_chem_gene_ixns_structured.tsv")
+    assert(g.edges.count() == 3)
+    assert(g.nodes.count() == 4)
+    val rows = g.edges.collect().map(r => r.getAs[String]("description") -> r).toMap
+    val incr = rows("increases expression of")
+    assert(incr.getAs[String]("subject") == "MESH:C025205")
+    assert(incr.getAs[String]("object") == "NCBIGENE:100")
+    assert(incr.getAs[String]("predicate") == "CTD:increases_expression_of")
+    assert(incr.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1", "PMID:2", "PMID:3"))
+    // '<-' swaps subject/object; '_with' predicate converts via the map
+    val mol = rows("increases molecular interaction with")
+    assert(mol.getAs[String]("subject") == "NCBIGENE:100")
+    assert(mol.getAs[String]("object") == "MESH:C044445")
+    assert(mol.getAs[String]("predicate") == "CTD:increases_molecular_interaction")
+    assert(mol.getAs[String]("taxon") == "NCBITaxon:10090")
+  }
+
+  test("GTEx eQTL: HGVS conversion, slope sign predicate, tissue anatomy") {
+    val g = Gtex.parse(spark, s"$res/gtex/eqtl.tar", isSqtl = false)
+    assert(g.edges.count() == 2) // chrZ fails HGVS; UnknownTissue skipped
+    assert(g.nodes.count() == 4)
+    val byGene = g.edges.collect().map(r => r.getAs[String]("object") -> r).toMap
+    val up = byGene("ENSEMBL:ENSG00000237094")
+    assert(up.getAs[String]("subject") == "HGVS:NC_000001.11:g.1413898T>C")
+    assert(up.getAs[String]("predicate") == "CTD:increases_expression_of")
+    assert(up.getAs[scala.collection.Seq[String]]("expressed_in") == Seq("UBERON:0002107"))
+    assert(up.getAs[scala.collection.Seq[Double]]("slope") == Seq(0.5))
+    val down = byGene("ENSEMBL:ENSG00000111111")
+    assert(down.getAs[String]("predicate") == "CTD:decreases_expression_of")
+    assert(g.nodes.filter(array_contains(col("category"), "biolink:SequenceVariant")).count() == 2)
+  }
+
+  test("GTEx sQTL: gene from phenotype id, affects_splicing_of") {
+    val g = Gtex.parse(spark, s"$res/gtex/sqtl.tar", isSqtl = true)
+    assert(g.edges.count() == 1)
+    val e = g.edges.head()
+    assert(e.getAs[String]("predicate") == "CTD:affects_splicing_of")
+    assert(e.getAs[String]("object") == "ENSEMBL:ENSG00000237094")
+    assert(e.getAs[scala.collection.Seq[String]]("expressed_in") == Seq("UBERON:0002048"))
+  }
+
+  test("registry drives parsers by source id") {
+    val g = Registry("HGNC")(spark, s"$res/hgnc")
+    assert(g.edges.count() == 4)
+    intercept[IllegalArgumentException] { Registry("NotARealSource") }
+  }
+}
