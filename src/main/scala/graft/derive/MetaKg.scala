@@ -10,10 +10,13 @@ import graft.model.Biolink
   */
 object MetaKg {
 
-  /** Node id → representative type (first category, the KGX convention for
-    * most-specific-first) — the J6 lookup joined onto edges. */
+  /** Node id → biolink LEAF types (J6): one row per category that is not a
+    * strict ancestor of another of the node's categories
+    * (find_biolink_leaves, orion/biolink_utils.py:44-60) — correct even
+    * when categories aren't most-specific-first, unlike category[0]. */
   def nodeTypes(nodes: DataFrame): DataFrame =
-    nodes.select(col("id"), element_at(col("category"), 1).as("node_type"))
+    nodes.select(col("id"),
+        explode(graft.model.BiolinkModel.leafCategories(col("category"))).as("node_type"))
 
   /** A11/D3 — meta-edges: (subject type, predicate, object type) with edge
     * count, attribute names, and one example edge triple. */
@@ -35,10 +38,11 @@ object MetaKg {
             when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull))))).as("attributes"))
   }
 
-  /** meta-nodes: type → count + curie prefix set. */
+  /** meta-nodes: leaf type → count + curie prefix set
+    * (meta_kg.py:76-90 keys node metadata by leaf types). */
   def metaNodes(nodes: DataFrame): DataFrame =
     nodes
-      .select(element_at(col("category"), 1).as("node_type"),
+      .select(explode(graft.model.BiolinkModel.leafCategories(col("category"))).as("node_type"),
         regexp_extract(col("id"), "^([^:]+):", 1).as("prefix"))
       .groupBy(col("node_type"))
       .agg(count(lit(1)).as("n_nodes"),

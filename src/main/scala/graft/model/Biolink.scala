@@ -62,10 +62,12 @@ object Biolink {
   val mergeSkipKeys: Set[String] =
     Set("id", Subject, Object_, Predicate, PrimaryKnowledgeSource)
 
-  /** Predicate → ancestor predicates (incl. self), a vendored fragment of the
-    * biolink predicate hierarchy for redundant-KG expansion
-    * (ref orion/redundant_kg.py:28-31). Extend per graph as needed. */
-  val predicateAncestors: Map[String, Seq[String]] = Map(
+  /** Predicate → ancestor predicates (incl. self) for redundant-KG
+    * expansion (ref orion/redundant_kg.py:28-31) — the full vendored slice
+    * lives in [[BiolinkModel.predicateAncestors]] (~70 predicates). */
+  val predicateAncestors: Map[String, Seq[String]] = BiolinkModel.predicateAncestors
+
+  private val legacyPredicateAncestors: Map[String, Seq[String]] = Map(
     "biolink:related_to" -> Seq("biolink:related_to"),
     "biolink:affects" -> Seq("biolink:affects", "biolink:related_to"),
     "biolink:regulates" -> Seq("biolink:regulates", "biolink:affects", "biolink:related_to"),
@@ -83,23 +85,14 @@ object Biolink {
     "biolink:gene_associated_with_condition" -> Seq("biolink:gene_associated_with_condition", "biolink:condition_associated_with_gene", "biolink:related_to"),
   )
 
-  /** Predicate → inverse (ref orion/biolink_utils.py:68-80). */
-  val predicateInverses: Map[String, String] = Map(
-    "biolink:affected_by" -> "biolink:affects",
-    "biolink:caused_by" -> "biolink:causes",
-    "biolink:treated_by" -> "biolink:treats",
-    "biolink:phenotype_of" -> "biolink:has_phenotype",
-    "biolink:expresses" -> "biolink:expressed_in",
-    "biolink:condition_associated_with_gene" -> "biolink:gene_associated_with_condition",
-  )
+  /** Predicate → inverse (ref orion/biolink_utils.py:68-80). Directed map
+    * derived from [[BiolinkModel.inversePairs]]; symmetric predicates
+    * invert to themselves via [[BiolinkModel.invertPredicate]]. */
+  val predicateInverses: Map[String, String] =
+    BiolinkModel.inversePairs.toMap
 
   /** Symmetric predicates (ref orion/biolink_utils.py:158-164). */
-  val symmetricPredicates: Set[String] = Set(
-    "biolink:related_to", "biolink:interacts_with",
-    "biolink:physically_interacts_with",
-    "biolink:directly_physically_interacts_with",
-    "biolink:correlated_with", "biolink:coexists_with",
-    "biolink:homologous_to")
+  val symmetricPredicates: Set[String] = BiolinkModel.symmetricPredicates
 
   /** Qualifier value enum ancestors for redundant-KG permutations
     * (ref orion/redundant_kg.py:84-96): aspect/direction value → ancestors
