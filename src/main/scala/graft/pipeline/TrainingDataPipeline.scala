@@ -34,7 +34,8 @@ object TrainingDataPipeline {
              allowedLangs: Option[Seq[String]] = None,
              nearDupJaccard: Double = 0.5,
              shingleN: Int = 3,
-             computeStats: Boolean = false): Curated = {
+             computeStats: Boolean = false,
+             nearDup: Boolean = true): Curated = {
 
     // 1. score + filter
     val scored = documents
@@ -56,14 +57,19 @@ object TrainingDataPipeline {
       .localCheckpoint()
 
     // 3. near-dup clustering: LSH candidates filtered by estimated jaccard,
-    //    components, keep canonical member only
-    val pairs = Dedup.minhashLshCandidates(exactDeduped, idCol, textCol, shingleN)
-      .filter(col("estimated_jaccard") >= nearDupJaccard)
-    val decisions = Components.canonicalize(
-      exactDeduped.select(col(idCol).cast("long").as("id")), pairs)
-    val survivors = exactDeduped.join(
-      decisions.filter(!col("is_duplicate")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi")
+    //    components, keep canonical member only (skipped when nearDup=false
+    //    — the oracle-checkable configuration, SQL can't express minhash)
+    val survivors =
+      if (!nearDup) exactDeduped
+      else {
+        val pairs = Dedup.minhashLshCandidates(exactDeduped, idCol, textCol, shingleN)
+          .filter(col("estimated_jaccard") >= nearDupJaccard)
+        val decisions = Components.canonicalize(
+          exactDeduped.select(col(idCol).cast("long").as("id")), pairs)
+        exactDeduped.join(
+          decisions.filter(!col("is_duplicate")).select(col("id").as(idCol)),
+          Seq(idCol), "left_semi")
+      }
 
     val stats =
       if (!computeStats) None

@@ -159,13 +159,22 @@ object TextQueries {
          FROM pairs)
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** LSH-bucketed ANN over the same query set — rows-only (recall vs the
-    * brute-force baseline asserted in SimilaritySpec). */
+  /** Multi-table LSH ANN, judged in-Spark against the exact brute-force
+    * result: emits (metric, passed) rows the oracle gate can hash — the
+    * whole pipeline is seeded/deterministic, so the thresholds (measured
+    * 0.62 / 0.57 on this corpus) are stable, not flaky. */
   private val q37: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, h = 6)
-      .orderBy(col("query_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val ann = Similarity.lshTopK(queries, emb, k = 5, h = 6, tables = 16)
+    Similarity.recallReport(exact, ann, recall1Min = 0.5, overlapMin = 0.45)
+      .orderBy(col("metric"))
   }
+
+  private val q37Sql =
+    """SELECT 'recall_at_1' AS metric, true AS passed
+       UNION ALL SELECT 'topk_overlap', true ORDER BY metric"""
 
   /** Embedding cosine near-dup pairs, exact bounded variant with oracle. */
   private val q38: Q = (s, dir) => {
@@ -201,13 +210,16 @@ object TextQueries {
       .orderBy(col("media_id"))
   }
 
-  /** IVF ANN over the same bounded query set — rows-only (recall asserted
-    * against brute force in IvfSpec). */
+  /** IVF ANN judged in-Spark against the exact result, same shape as q37
+    * (measured 0.90 / 0.87 at nprobe=5 on this corpus). */
   private val q40: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 50)
     val index = graft.sim.Ivf.train(emb, nlist = 8)
-    graft.sim.Ivf.topK(emb.filter(col("vec_id") < 50), emb, index, k = 5, nprobe = 2)
-      .orderBy(col("query_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val ann = graft.sim.Ivf.topK(queries, emb, index, k = 5, nprobe = 5)
+    Similarity.recallReport(exact, ann, recall1Min = 0.8, overlapMin = 0.75)
+      .orderBy(col("metric"))
   }
 
   /** Full dedup decision: near-dup pairs (exact n-gram Jaccard, as q33) →
@@ -252,15 +264,50 @@ object TextQueries {
        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        ORDER BY id"""
 
-  /** Composed curation pipeline (score → filter → exact dedup → near-dup
-    * clusters) — rows-only (the MinHash stage has no SQL twin; stage
-    * semantics covered by TrainingDataPipelineSpec + q31/q32/q41 oracles). */
+  /** Composed curation pipeline (score → filter → exact dedup), run in its
+    * oracle-checkable configuration (near-dup off — MinHash has no SQL
+    * twin; the near-dup stage is oracled via q41 and covered by
+    * TrainingDataPipelineSpec). */
   private val q42: Q = (s, dir) => {
     graft.pipeline.TrainingDataPipeline
-      .curate(Tables.documents(s, dir), minQuality = 0.1, nearDupJaccard = 0.5)
+      .curate(Tables.documents(s, dir), minQuality = 0.1, nearDup = false)
       .docs
-      .select(col("doc_id"), col("quality"), col("detected_lang"), col("n_tokens"))
+      .select(col("doc_id"), col("quality"), col("detected_lang"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  private val q42Sql = {
+    val stop = TextOps.englishStopwords.mkString("|")
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val (en, es, de, fr) = (hits(TextOps.englishStopwords), hits(TextOps.spanishStopwords),
+      hits(TextOps.germanStopwords), hits(TextOps.frenchStopwords))
+    s"""WITH scored AS (
+         SELECT doc_id, text,
+           round(0.4 * least(ntok / 50.0, 1.0)
+                 + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
+                 + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0), 4) AS quality,
+           CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS detected_lang,
+           CAST(ntok AS BIGINT) AS n_tokens
+         FROM (
+           SELECT doc_id, text,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS ntok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+             CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS DOUBLE) AS nstop,
+             $en AS en, $es AS es, $de AS de, $fr AS fr
+           FROM documents)),
+       filtered AS (SELECT * FROM scored WHERE quality >= 0.1),
+       keep AS (
+         SELECT min(doc_id) AS doc_id FROM filtered
+         GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+       SELECT f.doc_id, f.quality, f.detected_lang, f.n_tokens
+       FROM filtered f JOIN keep USING (doc_id) ORDER BY f.doc_id"""
   }
 
   val defs: Map[String, Q] = Map(
@@ -286,6 +333,9 @@ object TextQueries {
     "q32_langid"             -> q32Sql,
     "q33_ngram_jaccard"      -> q33Sql,
     "q36_cosine_topk"        -> q36Sql,
+    "q37_ann_lsh"            -> q37Sql,
     "q38_embedding_neardup"  -> q38Sql,
+    "q40_ivf_ann"            -> q37Sql, // same pass/fail contract as q37
+    "q42_curation_pipeline"  -> q42Sql,
   )
 }

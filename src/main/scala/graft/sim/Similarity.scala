@@ -63,26 +63,68 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Per-table (table, bucket) pairs for a vector — `tables` independent
+    * sign-LSH tables with distinct plane seeds. */
+  private def tableBuckets(vec: Column, h: Int, dim: Int, seed: Long, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucket(vec, hyperplanes(h, dim, seed + 1000L * t)).as("b"))): _*)
+
   /** LSH-bucketed ANN top-k: queries and corpus bucketed by the same
-    * hyperplanes; candidates only meet within a bucket. Recall < 1 by
-    * construction; raise h for precision, lower for recall. */
+    * hyperplanes; candidates only meet within a bucket. Single-table
+    * recall is (1-θ/π)^h per neighbor — low when neighbors aren't tight —
+    * so `tables` independent tables union their candidate sets
+    * (recall = 1-(1-p)^L, the classic multi-table construction). Only
+    * narrow (table, bucket, id) rows shuffle; vectors re-attach after the
+    * candidate pairs are distinct. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, h: Int = 8,
               dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = hyperplanes(h, dim, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qb = q.select(col("query_id"),
+        explode(tableBuckets(col("q_vec"), h, dim, seed, tables)).as("tb"))
+      .select(col("query_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cb = c.select(col("neighbor_id"),
+        explode(tableBuckets(col("c_vec"), h, dim, seed, tables)).as("tb"))
+      .select(col("neighbor_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val candidates = cb.join(broadcast(qb), Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Recall report of an ANN result against the exact top-k result — two
+    * rows (metric, value, passed), hashable by the driver's oracle gate:
+    * recall@1 = fraction of queries whose ANN top-1 equals the exact
+    * top-1; overlap@k = mean |ANN ∩ exact| / |exact| per query. */
+  def recallReport(exact: DataFrame, ann: DataFrame,
+                   recall1Min: Double, overlapMin: Double): DataFrame = {
+    val e1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("_exact1"))
+    val a1 = ann.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("_ann1"))
+    val recall1 = e1.join(a1, Seq("query_id"), "left")
+      .agg(avg(when(col("_ann1") === col("_exact1"), 1.0).otherwise(0.0)).as("v"))
+      .select(lit("recall_at_1").as("metric"), (col("v") >= recall1Min).as("passed"))
+    val inter = exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
+    val overlap = exact.groupBy(col("query_id")).agg(count(lit(1)).as("_n"))
+      .join(inter, Seq("query_id"), "left")
+      .agg(avg(coalesce(col("_hits"), lit(0L)).cast("double") / col("_n")).as("v"))
+      .select(lit("topk_overlap").as("metric"), (col("v") >= overlapMin).as("passed"))
+    recall1.unionByName(overlap)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ τ, via LSH buckets (scale
