@@ -54,17 +54,26 @@ object MetaKg {
       predicateCounts: Map[String, Long],
       primaryKsCounts: Map[String, Long],
       edgesMissingNodes: Long,
+      invalidNodeTypes: Seq[String],
+      deprecatedKnowledgeSources: Seq[String],
+      invalidKnowledgeSources: Seq[String],
       warnings: Seq[String])
 
-  /** D6 — graph QC: exact counts (QC is exact in the reference — no
-    * approx_count_distinct here) + dangling-edge check (the reference's
-    * missing-node check is an anti-join shape, meta_kg.py:103-113). */
-  def qc(nodes: DataFrame, edges: DataFrame): QcResults = {
+  /** D6 — graph QC (ref orion/kgx_validation.py:25-213): exact counts (QC
+    * is exact in the reference — no approx_count_distinct), dangling-edge
+    * anti-join, leaf-type counts, invalid-node-type check
+    * (biolink_utils.py:202-233 get_valid_node_types) and infores-catalog
+    * status for every knowledge source (deprecated/invalid → warnings). */
+  def qc(nodes: DataFrame, edges: DataFrame,
+         infores: graft.model.InforesCatalog = graft.model.InforesCatalog.vendored): QcResults = {
     val nodeCount = nodes.count()
     val edgeCount = edges.count()
-    val typeCounts = nodes.select(element_at(col("category"), 1).as("t"))
+    val typeCounts = nodeTypes(nodes).select(col("node_type").as("t"))
       .groupBy("t").count().collect()
       .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
+    val invalidTypes = typeCounts.keys
+      .filterNot(t => t == "(none)" || graft.model.BiolinkModel.isKnownCategory(t))
+      .toSeq.sorted
     val predCounts = edges.groupBy(Biolink.Predicate).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val pksCounts =
@@ -72,12 +81,25 @@ object MetaKg {
         edges.groupBy(Biolink.PrimaryKnowledgeSource).count().collect()
           .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
       else Map.empty[String, Long]
+    val aggKs: Seq[String] =
+      if (edges.columns.contains(Biolink.AggregatorKnowledgeSources))
+        edges.select(explode(col(Biolink.AggregatorKnowledgeSources)).as("ks"))
+          .filter(col("ks").isNotNull).distinct().collect().map(_.getString(0)).toSeq
+      else Nil
+    val allKs = (pksCounts.keys.filterNot(_ == "(none)") ++ aggKs).toSet
+    val deprecatedKs = infores.deprecated(allKs)
+    val invalidKs = infores.invalid(allKs)
     val ids = nodes.select(col("id"))
     val missing = edges
       .select(explode(array(col(Biolink.Subject), col(Biolink.Object_))).as("id"))
       .join(ids, Seq("id"), "left_anti").count()
-    val warnings = if (missing > 0) Seq(s"$missing edge endpoints missing from nodes") else Nil
-    QcResults(nodeCount, edgeCount, typeCounts, predCounts, pksCounts, missing, warnings)
+    val warnings =
+      (if (missing > 0) Seq(s"$missing edge endpoints missing from nodes") else Nil) ++
+      (if (invalidTypes.nonEmpty) Seq(s"invalid node types: ${invalidTypes.mkString(", ")}") else Nil) ++
+      deprecatedKs.map(ks => s"deprecated infores identifier: $ks") ++
+      invalidKs.map(ks => s"invalid infores identifier: $ks")
+    QcResults(nodeCount, edgeCount, typeCounts, predCounts, pksCounts, missing,
+      invalidTypes, deprecatedKs, invalidKs, warnings)
   }
 
   /** D3 — the meta-KG file trio (ref orion/meta_kg.py:14-16,23-218):

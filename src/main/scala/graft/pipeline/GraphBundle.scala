@@ -65,29 +65,20 @@ object GraphBundle {
     qc.predicateCounts.toSeq.sortBy(_._1).foreach { case (k, v) => pc.put(k, v) }
     val kc = qcNode.putObject("primary_knowledge_source_counts")
     qc.primaryKsCounts.toSeq.sortBy(_._1).foreach { case (k, v) => kc.put(k, v) }
+    val invalidTypesArr = qcNode.putArray("invalid_node_types")
+    qc.invalidNodeTypes.foreach(invalidTypesArr.add)
+    val deprecatedKsArr = qcNode.putArray("deprecated_knowledge_sources")
+    qc.deprecatedKnowledgeSources.foreach(deprecatedKsArr.add)
+    val invalidKsArr = qcNode.putArray("invalid_knowledge_sources")
+    qc.invalidKnowledgeSources.foreach(invalidKsArr.add)
     val warn = qcNode.putArray("warnings")
     qc.warnings.foreach(warn.add)
     writeJson(dir.resolve("qc-results.json"), qcNode)
 
-    // schema.json (ref kgx_metadata.py:378-469): spo triple summary
-    val schema = mapper.createObjectNode()
-    val triples = schema.putArray("edge_types")
-    MetaKg.schemaSummary(nodes, edges).collect().foreach { r =>
-      val t = triples.addObject()
-      t.put("subject_type", r.getAs[String]("subject_type"))
-      t.put("predicate", r.getAs[String]("predicate"))
-      t.put("object_type", r.getAs[String]("object_type"))
-      t.put("count", r.getAs[Long]("n"))
-    }
-    val nodeTypes = schema.putArray("node_types")
-    MetaKg.metaNodes(nodes).collect().foreach { r =>
-      val t = nodeTypes.addObject()
-      t.put("node_type", r.getAs[String]("node_type"))
-      t.put("count", r.getAs[Long]("n_nodes"))
-      val pfx = t.putArray("id_prefixes")
-      r.getSeq[String](r.fieldIndex("id_prefixes")).foreach(pfx.add)
-    }
-    writeJson(dir.resolve("schema.json"), schema)
+    // schema.json — published format (ref kgx_metadata.py:230-447):
+    // leaf-category grouping, per-type prefix/attribute/qualifier counts,
+    // node/edge summaries
+    graft.derive.SchemaJson.write(nodes, edges, dir.resolve("schema.json").toString)
 
     BundleResult(outDir, qc.nodeCount, qc.edgeCount, buildVersion)
   }

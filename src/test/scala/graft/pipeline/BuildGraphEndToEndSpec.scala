@@ -78,6 +78,17 @@ class BuildGraphEndToEndSpec extends SparkSpec {
     val qcJson = Files.readString(Paths.get(out, "qc-results.json"))
     assert(qcJson.contains("\"node_count\" : 25"))
     assert(qcJson.contains("\"biolink:affects\" : 15"))
+    // infores-catalog validation: infores:test is not in the registry slice
+    assert(qcJson.contains("\"invalid_knowledge_sources\" : [ \"infores:test\" ]"))
+    assert(qcJson.contains("invalid infores identifier: infores:test"))
+    assert(qcJson.contains("\"invalid_node_types\" : [ ]")) // NamedThing is valid
+    // published schema.json format (kgx_metadata.py:230-447)
+    val schemaJson = Files.readString(Paths.get(out, "schema.json"))
+    assert(schemaJson.contains("\"nodes_summary\""))
+    assert(schemaJson.contains("\"edges_summary\""))
+    assert(schemaJson.contains("\"predicates_by_knowledge_source\""))
+    assert(schemaJson.contains("\"subject_id_prefixes\""))
+    assert(schemaJson.contains("\"infores:test\" : 15"))
   }
 
   test("meta-KG trio files (meta_kg.py:14-16)") {
