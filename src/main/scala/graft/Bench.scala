@@ -16,6 +16,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         fn(spark, sfDir).count() // warm-up: codegen + shuffle files + page cache
+        // cross-query hygiene: drop the previous query's cache entries and
+        // let the ContextCleaner release orphaned checkpoint blocks, so a
+        // query's timing isn't polluted by its neighbors' leftover state
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
         time(fn(spark, sfDir).count())
       } catch { case _: Throwable => -1.0 }
       name -> t
