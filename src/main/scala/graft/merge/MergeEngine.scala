@@ -37,13 +37,17 @@ object MergeEngine {
     def zero: List[(Long, String)] = Nil
     def reduce(b: List[(Long, String)], a: Keyed): List[(Long, String)] = (a.ordinal -> a.json) :: b
     def merge(b1: List[(Long, String)], b2: List[(Long, String)]): List[(Long, String)] = b1 ::: b2
-    def finish(b: List[(Long, String)]): (String, Long) = {
-      val w = PropertyMerge.Warnings()
-      val sorted = b.sortBy(_._1).map(_._2)
-      val out = PropertyMerge.mergeAll(sorted, w)
-      mismatchedAcc.foreach(acc => w.mismatched.foreach(acc.add))
-      droppedAcc.foreach(acc => w.dropped.foreach(acc.add))
-      (out, sorted.size - 1L)
+    def finish(b: List[(Long, String)]): (String, Long) = b match {
+      // singleton fast path: most keys are unmerged — pass the JSON
+      // through untouched instead of a Jackson parse + reserialize
+      case (_, only) :: Nil => (only, 0L)
+      case _ =>
+        val w = PropertyMerge.Warnings()
+        val sorted = b.sortBy(_._1).map(_._2)
+        val out = PropertyMerge.mergeAll(sorted, w)
+        mismatchedAcc.foreach(acc => w.mismatched.foreach(acc.add))
+        droppedAcc.foreach(acc => w.dropped.foreach(acc.add))
+        (out, sorted.size - 1L)
     }
     def bufferEncoder: Encoder[List[(Long, String)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, String)]]()

@@ -22,7 +22,13 @@ object Registry {
     "CTD" -> ((s, dir) =>
       CtdChemGene.parse(s, s"$dir/CTD_chem_gene_ixns_structured.tar.gz")),
     "GTEx-eqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/eqtl.tar", isSqtl = false)),
-    "GTEx-sqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/sqtl.tar", isSqtl = true)))
+    "GTEx-sqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/sqtl.tar", isSqtl = true)),
+    "GenomeAllianceOrthologs" -> ((s, dir) =>
+      GenomeAlliance.parse(s, s"$dir/ORTHOLOGY-ALLIANCE_COMBINED.tsv.gz")),
+    "ClinGenGeneDiseaseValidity" -> ((s, dir) =>
+      ClinGenGeneDisease.parse(s, s"$dir/clingen_gene_disease_validity.tsv")),
+    "STRING-DB-Human" -> ((s, dir) =>
+      StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

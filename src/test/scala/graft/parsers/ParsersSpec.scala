@@ -121,6 +121,51 @@ class ParsersSpec extends SparkSpec {
     assert(e.getAs[scala.collection.Seq[String]]("expressed_in") == Seq("UBERON:0002048"))
   }
 
+  test("GenomeAlliance: orthologs, underscore-cleaned ids, gz scan") {
+    val g = GenomeAlliance.parse(spark, s"$res/alliance/ORTHOLOGY-ALLIANCE_COMBINED.tsv.gz")
+    assert(g.edges.count() == 2)
+    assert(g.nodes.count() == 3) // HGNC:7 shared object
+    val e = g.edges.orderBy(col("subject")).collect()
+    assert(e.forall(_.getAs[String]("predicate") == "biolink:orthologous_to"))
+    assert(e.map(_.getAs[String]("subject")).toSeq == Seq("MGI:87853", "RGD61995"))
+  }
+
+  test("ClinGen: 6-line metadata skip, moi normalization, unknown moi → null") {
+    val g = ClinGenGeneDisease.parse(spark, s"$res/clingen/clingen_gene_disease_validity.tsv")
+    assert(g.edges.count() == 3)
+    assert(g.nodes.count() == 6)
+    val rows = g.edges.collect().map(r => r.getAs[String]("subject") -> r).toMap
+    val brca = rows("HGNC:1100")
+    assert(brca.getAs[String]("predicate") == "gene_associated_with_condition")
+    assert(brca.getAs[String]("object") == "MONDO:0007254")
+    assert(brca.getAs[String]("NORMALIZED_MODE_OF_INHERITANCE") == "Autosomal Dominant")
+    assert(brca.getAs[String]("HPO_FOR_NORMALIZED_MODE_OF_INHERITANCE") == "0000006")
+    assert(brca.getAs[String]("CLINGEN_VALIDITY_CLASSIFICATION") == "Definitive")
+    val unknown = rows("HGNC:999")
+    assert(unknown.getAs[String]("NORMALIZED_MODE_OF_INHERITANCE") == null)
+    assert(unknown.getAs[String]("HPO_FOR_NORMALIZED_MODE_OF_INHERITANCE") == null)
+  }
+
+  test("STRING: score gate, per-channel fan-out, KL/AT channel logic") {
+    val g = StringDb.parse(spark, s"$res/string/9606.protein.links.full.txt.gz", "9606")
+    // row1 fans out to 2 channel edges; rows 2 and 4 fall back; row3 gated
+    assert(g.edges.count() == 4)
+    assert(g.nodes.count() == 4)
+    val byPred = g.edges.filter(col("subject") === "ENSEMBL:ENSP1" && col("object") === "ENSEMBL:ENSP2")
+      .collect().map(r => r.getAs[String]("predicate") -> r).toMap
+    assert(byPred.keySet == Set("biolink:coexpressed_with", "biolink:physically_interacts_with"))
+    // multi-high-conf override: knowledge_assertion + manual (EXPERIMENTS)
+    assert(byPred.values.forall(_.getAs[String]("knowledge_level") == "knowledge_assertion"))
+    assert(byPred.values.forall(_.getAs[String]("agent_type") == "manual_agent"))
+    val textmined = g.edges.filter(col("object") === "ENSEMBL:ENSP3").head()
+    assert(textmined.getAs[String]("predicate") == "biolink:physically_interacts_with") // fallback
+    assert(textmined.getAs[String]("agent_type") == "text_mining_agent") // best channel TEXTMINING
+    val homology = g.edges.filter(col("subject") === "ENSEMBL:ENSP3").head()
+    assert(homology.getAs[String]("knowledge_level") == "prediction") // best channel HOMOLOGY
+    assert(homology.getAs[String]("agent_type") == "computational_model")
+    assert(homology.getAs[String]("species_context_qualifier") == "NCBITaxon:9606")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
