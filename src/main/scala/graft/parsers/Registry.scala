@@ -28,7 +28,8 @@ object Registry {
     "ClinGenGeneDiseaseValidity" -> ((s, dir) =>
       ClinGenGeneDisease.parse(s, s"$dir/clingen_gene_disease_validity.tsv")),
     "STRING-DB-Human" -> ((s, dir) =>
-      StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")))
+      StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")),
+    "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -166,6 +166,23 @@ class ParsersSpec extends SparkSpec {
     assert(homology.getAs[String]("species_context_qualifier") == "NCBITaxon:9606")
   }
 
+  test("Hetio: bz2 JSON doc, abbrev predicates, source-based provenance") {
+    val g = Hetio.parse(spark, s"$res/hetio/hetionet-test.json.bz2")
+    // MEDLINE DpS, Bgee-sourced, and Pathway-target edges all dropped
+    assert(g.edges.count() == 2)
+    val rows = g.edges.collect().map(r => r.getAs[String]("predicate") -> r).toMap
+    val binds = rows("RO:0002436") // CbG
+    assert(binds.getAs[String]("subject") == "DRUGBANK:DB01048")
+    assert(binds.getAs[String]("object") == "NCBIGene:100")
+    assert(binds.getAs[String]("primary_knowledge_source") == "infores:lincs")
+    assert(binds.getAs[scala.collection.Seq[String]]("aggregator_knowledge_source") ==
+      Seq("infores:hetionet"))
+    val treats = rows("RO:0002606") // CtD
+    assert(treats.getAs[String]("object") == "DOID:2841") // already a curie
+    assert(treats.getAs[String]("primary_knowledge_source") == "infores:hetionet")
+    assert(treats.getAs[scala.collection.Seq[String]]("hetio_source") == Seq("some-thesis"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
