@@ -29,7 +29,9 @@ object Registry {
       ClinGenGeneDisease.parse(s, s"$dir/clingen_gene_disease_validity.tsv")),
     "STRING-DB-Human" -> ((s, dir) =>
       StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")),
-    "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")))
+    "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")),
+    "BINDING-DB" -> ((s, dir) =>
+      BindingDb.parse(s, s"$dir/BindingDB_All.tsv.zip", "BindingDB_All.tsv")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -183,6 +183,26 @@ class ParsersSpec extends SparkSpec {
     assert(treats.getAs[scala.collection.Seq[String]]("hetio_source") == Seq("some-thesis"))
   }
 
+  test("BindingDB: zip member, measure grouping, -log10 affinity, dead compounds") {
+    val g = BindingDb.parse(spark, s"$res/binding/BindingDB_All.tsv.zip", "BindingDB_All.tsv")
+    assert(g.edges.count() == 3) // pKi + pIC50 for 123~P1, pKd for 456~P2; zero pEC50 dropped
+    val rows = g.edges.collect().map(r =>
+      (r.getAs[String]("subject"), r.getAs[String]("affinity_parameter")) -> r).toMap
+    val pki = rows(("PUBCHEM.COMPOUND:123", "pKi"))
+    assert(pki.getAs[String]("predicate") == "{DGIDB}:inhibitor") // reference's literal
+    assert(pki.getAs[String]("object") == "UniProtKB:P1")
+    assert(pki.getAs[Double]("affinity") == 7.82) // -log10(mean(10,20) nM)
+    assert(pki.getAs[scala.collection.Seq[Double]]("supporting_affinities") == Seq(8.0, 7.7))
+    // the '>' row contributes neither affinity nor publication
+    assert(pki.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:111", "PMID:222"))
+    val pic50 = rows(("PUBCHEM.COMPOUND:123", "pIC50"))
+    assert(pic50.getAs[String]("predicate") == "CTD:decreases_activity_of")
+    assert(pic50.getAs[scala.collection.Seq[String]]("publications") == null)
+    assert(pic50.getAs[scala.collection.Seq[String]]("patent_ids") == Seq("PATENT:US-1"))
+    val pkd = rows(("PUBCHEM.COMPOUND:456", "pKd"))
+    assert(pkd.getAs[Double]("affinity") == 5.3) // '<5,000' nM parsed to 5000
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
