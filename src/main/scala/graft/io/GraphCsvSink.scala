@@ -126,4 +126,25 @@ object GraphCsvSink {
     ("CREATE INDEX ON :`biolink:NamedThing`(name);" +:
       labels.map(l => s"CREATE INDEX ON :`$l`(id);")).mkString("\n") + "\n"
   }
+
+  /** K4 — full Memgraph dump bundle (ref orion/memgraph_tools.py:8-48):
+    * `memgraph_{id}[_{version}]_nodes.csv` + `..._indexes.cypher` +
+    * per-predicate edge csvs + manifest, each step skipped when its output
+    * already exists (the reference's idempotent re-run behavior). */
+  def createMemgraphDump(nodes: DataFrame, edges: DataFrame, outputDir: String,
+                         graphId: String = "graph", releaseVersion: String = "",
+                         nodeIgnore: Set[String] = Set.empty,
+                         edgeIgnore: Set[String] = Set.empty): Unit = {
+    val subName = if (releaseVersion.nonEmpty) s"${graphId}_$releaseVersion" else graphId
+    val nodesCsv = java.nio.file.Paths.get(outputDir, s"memgraph_${subName}_nodes.csv")
+    val indexCypher = java.nio.file.Paths.get(outputDir, s"memgraph_${subName}_indexes.cypher")
+    val edgesDir = java.nio.file.Paths.get(outputDir, s"memgraph_${subName}_edges.csv")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    if (!java.nio.file.Files.exists(nodesCsv))
+      writeNeo4jNodes(nodes.drop(nodeIgnore.toSeq: _*), nodesCsv.toString)
+    if (!java.nio.file.Files.exists(indexCypher))
+      java.nio.file.Files.writeString(indexCypher, memgraphIndexCypher(nodes))
+    if (!java.nio.file.Files.exists(edgesDir.resolve("_manifest.txt")))
+      writeMemgraphEdges(edges.drop(edgeIgnore.toSeq: _*), edgesDir.toString)
+  }
 }

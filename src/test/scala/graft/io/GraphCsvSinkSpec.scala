@@ -60,6 +60,23 @@ class GraphCsvSinkSpec extends SparkSpec {
     assert(manifest == Set("biolink_affects", "biolink_related_to"))
   }
 
+  test("createMemgraphDump: named bundle files, idempotent re-run") {
+    val dir = tmpDir("memgraph_dump")
+    GraphCsvSink.createMemgraphDump(nodes, edges, dir, graphId = "TestGraph",
+      releaseVersion = "1.0.0")
+    val nodesCsv = Paths.get(dir, "memgraph_TestGraph_1.0.0_nodes.csv")
+    val cypher = Paths.get(dir, "memgraph_TestGraph_1.0.0_indexes.cypher")
+    val edgesDir = Paths.get(dir, "memgraph_TestGraph_1.0.0_edges.csv")
+    assert(Files.exists(nodesCsv) && Files.exists(cypher))
+    assert(Files.exists(edgesDir.resolve("_manifest.txt")))
+    assert(Files.readString(cypher).contains("CREATE INDEX ON :`biolink:Gene`(id);"))
+    // re-run: everything skipped (no exception from overwrite, mtimes stable)
+    val before = Files.getLastModifiedTime(cypher)
+    GraphCsvSink.createMemgraphDump(nodes, edges, dir, graphId = "TestGraph",
+      releaseVersion = "1.0.0")
+    assert(Files.getLastModifiedTime(cypher) == before)
+  }
+
   test("writeSingleFile produces one gzip jsonl (KGX bundle compat)") {
     val f = java.nio.file.Files.createTempDirectory("single").resolve("nodes.jsonl.gz").toString
     graft.io.KgxIO.writeSingleFile(nodes, f)
