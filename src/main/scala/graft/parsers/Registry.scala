@@ -31,7 +31,8 @@ object Registry {
       StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")),
     "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")),
     "BINDING-DB" -> ((s, dir) =>
-      BindingDb.parse(s, s"$dir/BindingDB_All.tsv.zip", "BindingDB_All.tsv")))
+      BindingDb.parse(s, s"$dir/BindingDB_All.tsv.zip", "BindingDB_All.tsv")),
+    "MONDOProperties" -> ((s, dir) => MondoProperties.parse(s, s"$dir/ubergraph.nq.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -203,6 +203,18 @@ class ParsersSpec extends SparkSpec {
     assert(pkd.getAs[Double]("affinity") == 5.3) // '<5,000' nM parsed to 5000
   }
 
+  test("MONDOProperties: nquads scan, IC cutoff, superclass flags pivoted") {
+    val g = MondoProperties.parse(spark, s"$res/mondo/ubergraph.nq.gz")
+    // only MONDO:0005737 gains a flag (its property-mondo parent 0000001);
+    // 0009999's only parent is too specific (ic 92)
+    assert(g.nodes.count() == 1)
+    val n = g.nodes.head()
+    assert(n.getAs[String]("id") == "MONDO:0005737")
+    // label 'infectious disease, viral' → comma stripped, spaces to _
+    assert(n.getAs[Boolean]("MONDO_SUPERCLASS_infectious_disease_viral"))
+    assert(g.edges.count() == 0) // nodes-only source
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
