@@ -61,6 +61,15 @@ object Cli {
       GraphCsvSink.writeMemgraphEdges(spark.read.json(args(2)), args(3) + "/edges")
     case "publish" =>
       GraphBundle.publish(args(1), args(2))
+    case "parse" =>
+      // orion-ingest front door: parse <source_id> <dataDir> <outDir>
+      // (registered parsers: graft.parsers.Registry)
+      val Array(_, sourceId, dataDir, out) = args
+      val g = graft.parsers.Registry(sourceId)(spark, dataDir)
+      KgxIO.writeJsonl(g.nodes, s"$out/source_nodes.jsonl", dedupKeys = Seq("id"))
+      KgxIO.writeJsonl(g.edges, s"$out/source_edges.jsonl", dedupKeys = Nil)
+    case "sources" =>
+      println(graft.parsers.Registry.parsers.keys.toSeq.sorted.mkString("\n"))
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }
