@@ -32,7 +32,11 @@ object Registry {
     "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")),
     "BINDING-DB" -> ((s, dir) =>
       BindingDb.parse(s, s"$dir/BindingDB_All.tsv.zip", "BindingDB_All.tsv")),
-    "MONDOProperties" -> ((s, dir) => MondoProperties.parse(s, s"$dir/ubergraph.nq.gz")))
+    "MONDOProperties" -> ((s, dir) => MondoProperties.parse(s, s"$dir/ubergraph.nq.gz")),
+    "KinAce" -> ((s, dir) => KinAce.parse(s, s"$dir/ksi_source_full_dataset.csv")),
+    "UPhenoHumanMousePhenotypeHomology" -> ((s, dir) =>
+      UPheno.parse(s, s"$dir/upheno.obo",
+        speciesAPrefixes = Seq("HP"), speciesBPrefixes = Seq("MP"))))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

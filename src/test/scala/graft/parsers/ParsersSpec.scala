@@ -215,6 +215,43 @@ class ParsersSpec extends SparkSpec {
     assert(g.edges.count() == 0) // nodes-only source
   }
 
+  test("KinAce: qualified phosphorylation edges, source-driven KL/AT, PMIDs") {
+    val g = KinAce.parse(spark, s"$res/kinace/ksi_source_full_dataset.csv")
+    assert(g.edges.count() == 3)
+    assert(g.nodes.count() == 4)
+    val rows = g.edges.collect().map(r =>
+      (r.getAs[String]("subject"), r.getAs[String]("object")) -> r).toMap
+    val psp = rows(("UniProtKB:P00533", "UniProtKB:P04637"))
+    assert(psp.getAs[String]("predicate") == "biolink:affects")
+    assert(psp.getAs[String]("qualified_predicate") == "biolink:causes")
+    assert(psp.getAs[String]("object_aspect_qualifier") == "phosphorylation")
+    assert(psp.getAs[String]("primary_knowledge_source") == "infores:psite-plus")
+    assert(psp.getAs[String]("knowledge_level") == "knowledge_assertion")
+    assert(psp.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:12345", "PMID:67890"))
+    assert(psp.getAs[scala.collection.Seq[String]]("phosphorylation_sites") == Seq("Y220"))
+    val iptm = rows(("UniProtKB:P00533", "UniProtKB:P06400"))
+    assert(iptm.getAs[String]("agent_type") == "text_mining_agent")
+    assert(iptm.getAs[scala.collection.Seq[String]]("publications") == null) // NA
+    val epsd = rows(("UniProtKB:Q05397", "UniProtKB:P04637"))
+    assert(epsd.getAs[String]("knowledge_level") == "not_provided")
+  }
+
+  test("UPheno: OBO stanzas, cross-species pairing on generic parents") {
+    val g = UPheno.parse(spark, s"$res/upheno/upheno.obo",
+      speciesAPrefixes = Seq("HP"), speciesBPrefixes = Seq("MP"))
+    assert(g.edges.count() == 4) // 2 HP × 2 MP under UPHENO:0001001
+    assert(g.nodes.count() == 4) // obsolete + ZP terms excluded
+    val dual = g.edges
+      .filter(col("subject") === "HP:0001646" && col("object") === "MP:0002747").head()
+    assert(dual.getAs[scala.collection.Seq[String]]("upheno_generic_parent") ==
+      Seq("UPHENO:0001001", "UPHENO:0075222")) // both supporting parents, sorted
+    assert(dual.getAs[String]("predicate") == "biolink:homologous_to")
+    assert(dual.getAs[String]("knowledge_level") == "logical_entailment")
+    val hp = g.nodes.filter(col("id") === "HP:0001627").head()
+    assert(hp.getAs[String]("name") == "Abnormal heart morphology")
+    assert(hp.getAs[scala.collection.Seq[String]]("category") == Seq("biolink:PhenotypicFeature"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
