@@ -36,7 +36,14 @@ object Registry {
     "KinAce" -> ((s, dir) => KinAce.parse(s, s"$dir/ksi_source_full_dataset.csv")),
     "UPhenoHumanMousePhenotypeHomology" -> ((s, dir) =>
       UPheno.parse(s, s"$dir/upheno.obo",
-        speciesAPrefixes = Seq("HP"), speciesBPrefixes = Seq("MP"))))
+        speciesAPrefixes = Seq("HP"), speciesBPrefixes = Seq("MP"))),
+    "GWASCatalog" -> ((s, dir) =>
+      GwasCatalog.parse(s, s"$dir/gwas-catalog-associations_ontology-annotated.tsv.zip",
+        "gwas-catalog-associations_ontology-annotated.tsv")),
+    "PHAROS" -> ((s, dir) =>
+      Pharos.parse(s, s"jdbc:derby:$dir/tcrd")),
+    "DrugCentral" -> ((s, dir) =>
+      DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

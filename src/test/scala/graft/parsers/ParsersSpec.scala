@@ -252,6 +252,29 @@ class ParsersSpec extends SparkSpec {
     assert(hp.getAs[scala.collection.Seq[String]]("category") == Seq("biolink:PhenotypicFeature"))
   }
 
+  test("GWASCatalog: risk alleles, merged rsids, trait curies, edge merge") {
+    val g = GwasCatalog.parse(spark,
+      s"$res/gwas/gwas-catalog-associations_ontology-annotated.tsv.zip",
+      "gwas-catalog-associations_ontology-annotated.tsv")
+    assert(g.edges.count() == 6)
+    assert(g.nodes.count() == 8)
+    val rows = g.edges.collect().map(r =>
+      (r.getAs[String]("subject"), r.getAs[String]("object")) -> r).toMap
+    // duplicate association merged: distinct pubs, min p-value
+    val merged = rows(("DBSNP:rs123-G", "EFO:0001360"))
+    assert(merged.getAs[scala.collection.Seq[String]]("publications") ==
+      Seq("PMID:11111", "PMID:22222"))
+    assert(merged.getAs[Double]("p_value") == 1e-12)
+    // merged=1 current rsid wins; p=0 becomes min positive double
+    val current = rows(("DBSNP:rs1000", "MONDO:0005148"))
+    assert(current.getAs[Double]("p_value") == java.lang.Double.MIN_VALUE)
+    // multi-variant x multi-trait fan-out; '?' allele keeps the bare rsid
+    assert(rows.contains(("DBSNP:rs55-T", "HP:0000822")))
+    assert(rows.contains(("DBSNP:rs77", "ORPHANET:846")))
+    assert(!rows.keys.exists(_._1.contains("chr6"))) // non-rs token dropped
+    assert(!rows.keys.exists(_._1.contains("HLA")))  // HLA row skipped
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
