@@ -43,7 +43,9 @@ object Registry {
     "PHAROS" -> ((s, dir) =>
       Pharos.parse(s, s"jdbc:derby:$dir/tcrd")),
     "DrugCentral" -> ((s, dir) =>
-      DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")))
+      DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")),
+    "MonarchKG" -> ((s, dir) =>
+      MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

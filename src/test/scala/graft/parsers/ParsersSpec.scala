@@ -275,6 +275,22 @@ class ParsersSpec extends SparkSpec {
     assert(!rows.keys.exists(_._1.contains("HLA")))  // HLA row skipped
   }
 
+  test("MonarchKG: predicate allowlist, source remap + ignore list, prefix drop") {
+    val g = MonarchKg.parse(spark, s"$res/monarch/monarch-kg.jsonl.tar.gz")
+    assert(g.edges.count() == 2)
+    assert(g.nodes.count() == 4)
+    val rows = g.edges.collect().map(r => r.getAs[String]("subject") -> r).toMap
+    val causes = rows("MONDO:1")
+    assert(causes.getAs[String]("primary_knowledge_source") == "infores:agrkb") // remapped
+    assert(causes.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1"))
+    val pheno = rows("MONDO:7")
+    assert(pheno.getAs[String]("primary_knowledge_source") == "infores:hgnc") // remapped
+    assert(!g.edges.columns.contains("qualifiers"))
+    // unfiltered variant keeps the undesired-predicate row too
+    val all = MonarchKg.parse(spark, s"$res/monarch/monarch-kg.jsonl.tar.gz", filtered = false)
+    assert(all.edges.count() == 5) // only the empty-predicate row drops
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
