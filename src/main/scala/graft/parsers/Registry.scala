@@ -45,7 +45,8 @@ object Registry {
     "DrugCentral" -> ((s, dir) =>
       DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")),
     "MonarchKG" -> ((s, dir) =>
-      MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")))
+      MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")),
+    "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -291,6 +291,26 @@ class ParsersSpec extends SparkSpec {
     assert(all.edges.count() == 5) // only the empty-predicate row drops
   }
 
+  test("DrugMechDB: mechanism paths, qualifier mapping, target_for derivation") {
+    val g = DrugMechDb.parse(spark, s"$res/drugmechdb/indication_paths.json")
+    assert(g.edges.count() == 4) // 2 mechanism + 2 target_for
+    assert(g.nodes.count() == 5)
+    val mech = g.edges.filter(col("predicate") === "biolink:affects")
+      .collect().map(r => r.getAs[String]("object") -> r).toMap
+    val drugTarget = mech("UniProtKB:P00519") // UniProt: prefix fixed
+    assert(drugTarget.getAs[String]("qualified_predicate") == "biolink:causes")
+    assert(drugTarget.getAs[String]("object_direction_qualifier") == "decreased")
+    assert(drugTarget.getAs[String]("object_aspect_qualifier") == "activity")
+    // shared link across two paths carries both sorted path ids
+    assert(drugTarget.getAs[scala.collection.Seq[String]]("drugmechdb_path_id") ==
+      Seq("DB00619_MESH_D015464_1", "DB00619_MESH_D034721_1"))
+    assert(mech("GO:0008283").getAs[String]("object_direction_qualifier") == "upregulated")
+    // protein target of the drug asserts target_for against each disease
+    val tf = g.edges.filter(col("predicate") === "biolink:target_for")
+      .collect().map(_.getAs[String]("object")).toSet
+    assert(tf == Set("MESH:D015464", "MESH:D034721"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
