@@ -46,7 +46,8 @@ object Registry {
       DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")),
     "MonarchKG" -> ((s, dir) =>
       MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")),
-    "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")))
+    "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")),
+    "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

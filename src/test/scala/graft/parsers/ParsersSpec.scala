@@ -311,6 +311,25 @@ class ParsersSpec extends SparkSpec {
     assert(tf == Set("MESH:D015464", "MESH:D034721"))
   }
 
+  test("IntAct: PSI-MI TAB, publication precedence, detection-method union") {
+    val g = IntAct.parse(spark, s"$res/intact/intact.zip")
+    assert(g.edges.count() == 5) // 2 PPI + 3 distinct in-taxon
+    assert(g.nodes.count() == 5) // 3 proteins + 2 taxa
+    val ppi = g.edges.filter(col("predicate") === "RO:0002436")
+      .collect().map(r => r.getAs[String]("subject") -> r).toMap
+    val dup = ppi("UniProtKB:P12345")
+    // duplicate rows collapsed; both MI codes joined sorted
+    assert(dup.getAs[String]("detection_method") == "MI:0006|MI:0018")
+    assert(dup.getAs[String]("publications") == "PMID:11290752")
+    val imex = ppi("UniProtKB:P55555")
+    assert(imex.getAs[String]("publications") == "IM:12345") // imex '-'->':'
+    val taxonEdges = g.edges.filter(col("predicate") === "RO:0002162")
+    assert(taxonEdges.count() == 3)
+    val mouse = g.nodes.filter(col("id") === "UniProtKB:P55555").head()
+    assert(mouse.getAs[String]("name") == "xyz_mouse") // alias until '('
+    assert(mouse.getAs[String]("taxon") == "NCBITaxon:10090")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
