@@ -47,7 +47,8 @@ object Registry {
     "MonarchKG" -> ((s, dir) =>
       MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")),
     "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")),
-    "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")))
+    "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")),
+    "CAM-KP" -> ((s, dir) => CamKp.parse(s, s"$dir/cam-kg.tsv.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

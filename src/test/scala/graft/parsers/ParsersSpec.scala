@@ -330,6 +330,21 @@ class ParsersSpec extends SparkSpec {
     assert(mouse.getAs[String]("taxon") == "NCBITaxon:10090")
   }
 
+  test("CAM-KP: id sanitization, per-row provenance, qualifier parsing") {
+    val g = CamKp.parse(spark, s"$res/camkp/cam-kg.tsv.gz")
+    assert(g.edges.count() == 3)
+    assert(g.nodes.count() == 4)
+    val q = g.edges.filter(col("predicate") === "biolink:regulates").head()
+    assert(q.getAs[String]("anatomical_context_qualifier") == "UBERON:0002107")
+    assert(q.getAs[String]("primary_knowledge_source") == "infores:go-cam")
+    assert(q.getAs[scala.collection.Seq[String]]("aggregator_knowledge_source") ==
+      Seq("infores:cam-kp"))
+    assert(q.getAs[scala.collection.Seq[String]]("xref") ==
+      Seq("http://model.geneontology.org/m1"))
+    // quoted doubled-MGI id sanitized
+    assert(g.nodes.filter(col("id") === "MGI:87853").count() == 1)
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
