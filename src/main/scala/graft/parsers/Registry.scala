@@ -48,7 +48,9 @@ object Registry {
       MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")),
     "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")),
     "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")),
-    "CAM-KP" -> ((s, dir) => CamKp.parse(s, s"$dir/cam-kg.tsv.gz")))
+    "CAM-KP" -> ((s, dir) => CamKp.parse(s, s"$dir/cam-kg.tsv.gz")),
+    "text-mining-provider-targeted" -> ((s, dir) =>
+      TextMiningKp.parse(s, s"$dir/edges.tsv.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -345,6 +345,23 @@ class ParsersSpec extends SparkSpec {
     assert(g.nodes.filter(col("id") === "MGI:87853").count() == 1)
   }
 
+  test("TextMiningKP: qualifier columns, nested JSON sentences, pipe lists") {
+    val g = TextMiningKp.parse(spark, s"$res/tmkp/edges.tsv.gz")
+    assert(g.edges.count() == 1)
+    val e = g.edges.head()
+    assert(e.getAs[String]("predicate") == "biolink:affects")
+    assert(e.getAs[String]("qualified_predicate") == "biolink:causes")
+    assert(e.getAs[String]("object_aspect_qualifier") == "activity")
+    assert(e.getAs[String]("object_direction_qualifier") == "increased")
+    assert(e.getAs[String]("subject_aspect_qualifier") == null) // empty column
+    assert(e.getAs[Double]("tmkp_confidence_score") == 0.99)
+    assert(e.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:100", "PMID:200"))
+    assert(e.getAs[scala.collection.Seq[String]]("tmkp_ids") == Seq("tmkp:r1", "tmkp:r2"))
+    // sentences interleave supporting_text and document ('NA' when missing)
+    assert(e.getAs[String]("sentences") ==
+      "BRCA1 regulates TP53.|PMID:100|Second sentence.|NA")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
