@@ -50,7 +50,9 @@ object Registry {
     "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")),
     "CAM-KP" -> ((s, dir) => CamKp.parse(s, s"$dir/cam-kg.tsv.gz")),
     "text-mining-provider-targeted" -> ((s, dir) =>
-      TextMiningKp.parse(s, s"$dir/edges.tsv.gz")))
+      TextMiningKp.parse(s, s"$dir/edges.tsv.gz")),
+    "MolePro" -> ((s, dir) =>
+      MolePro.parse(s, s"$dir/molepro_nodes.tsv", s"$dir/molepro_edges.tsv")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

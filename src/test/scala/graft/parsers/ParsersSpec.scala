@@ -362,6 +362,21 @@ class ParsersSpec extends SparkSpec {
       "BRCA1 regulates TP53.|PMID:100|Second sentence.|NA")
   }
 
+  test("MolePro: KGX-TSV with biolink: headers, list splits, required filters") {
+    val g = MolePro.parse(spark, s"$res/molepro/molepro_nodes.tsv",
+      s"$res/molepro/molepro_edges.tsv")
+    assert(g.nodes.count() == 2) // id-less node dropped
+    assert(g.edges.count() == 1) // pks-less edge dropped
+    val aspirin = g.nodes.filter(col("id") === "CHEBI:15365").head()
+    assert(aspirin.getAs[scala.collection.Seq[String]]("category") ==
+      Seq("biolink:SmallMolecule", "biolink:ChemicalEntity"))
+    assert(aspirin.getAs[scala.collection.Seq[String]]("synonym") ==
+      Seq("acetylsalicylic acid", "ASA"))
+    val e = g.edges.head()
+    assert(e.getAs[String]("primary_knowledge_source") == "infores:chembl") // first of multi
+    assert(e.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1", "PMID:2"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
