@@ -52,7 +52,15 @@ object Registry {
     "text-mining-provider-targeted" -> ((s, dir) =>
       TextMiningKp.parse(s, s"$dir/edges.tsv.gz")),
     "MolePro" -> ((s, dir) =>
-      MolePro.parse(s, s"$dir/molepro_nodes.tsv", s"$dir/molepro_edges.tsv")))
+      MolePro.parse(s, s"$dir/molepro_nodes.tsv", s"$dir/molepro_edges.tsv")),
+    // ViralProteome is the GOA extraction over the per-virus .goa files
+    // (parsers/ViralProteome/src/loadVP.py:133-162 reuses loadGOA's
+    // extractors verbatim) — a glob scan of the same parser here
+    "ViralProteome" -> ((s, dir) => Goa.parse(s, s"$dir/*.goa")),
+    "BgeeHuman" -> ((s, dir) =>
+      Bgee.parse(s, s"$dir/Homo_sapiens_expr_simple.tsv.gz", taxonId = "NCBITaxon:9606")),
+    "BgeeMouse" -> ((s, dir) =>
+      Bgee.parse(s, s"$dir/Mus_musculus_expr_simple.tsv.gz", taxonId = "NCBITaxon:10090")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -377,6 +377,35 @@ class ParsersSpec extends SparkSpec {
     assert(e.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1", "PMID:2"))
   }
 
+  test("ViralProteome: GOA extraction globbed over per-virus .goa files") {
+    val g = Registry("ViralProteome")(spark, s"$res/viralproteome")
+    assert(g.edges.count() == 3) // 2 sars-cov-2 + 1 ebola, both files scanned
+    val preds = g.edges.select("predicate").collect().map(_.getString(0)).toSet
+    assert(preds == Set("RO:0002327", "RO:0002331")) // enables + aspect-P default
+    val spike = g.nodes.filter(col("id") === "UniProtKB:P0DTC2").head()
+    assert(spike.getAs[String]("taxon") == "NCBITaxon:2697049")
+  }
+
+  test("Bgee: expression gates, intersection split, typed anatomy nodes") {
+    val g = Bgee.parse(spark, s"$res/bgee/Homo_sapiens_expr_simple.tsv.gz",
+      taxonId = "NCBITaxon:9606")
+    assert(g.edges.count() == 2) // absent / FDR / score rows gated out
+    val rows = g.edges.collect().map(r => r.getAs[String]("object") -> r).toMap
+    val liver = rows("UBERON:0002107")
+    assert(liver.getAs[String]("predicate") == "biolink:expressed_in")
+    assert(liver.getAs[Double]("adjusted_p_value") == 1e-10)
+    assert(liver.getAs[String]("anatomical_context_qualifier") == null)
+    // CL ∩ UBERON intersection: cell is the object, uberon the qualifier
+    val cell = rows("CL:0000182")
+    assert(cell.getAs[String]("anatomical_context_qualifier") == "UBERON:0002107")
+    assert(cell.getAs[String]("original_object") == "CL:0000182 ∩ UBERON:0002107")
+    val cellNode = g.nodes.filter(col("id") === "CL:0000182").head()
+    assert(cellNode.getAs[scala.collection.Seq[String]]("category") == Seq("biolink:Cell"))
+    assert(cellNode.getAs[String]("name") == "") // intersection blanks the name
+    val gene = g.nodes.filter(col("id") === "ENSEMBL:ENSG00000111640").head()
+    assert(gene.getAs[String]("taxon") == "NCBITaxon:9606")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
