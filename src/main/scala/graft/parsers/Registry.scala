@@ -60,7 +60,8 @@ object Registry {
     "BgeeHuman" -> ((s, dir) =>
       Bgee.parse(s, s"$dir/Homo_sapiens_expr_simple.tsv.gz", taxonId = "NCBITaxon:9606")),
     "BgeeMouse" -> ((s, dir) =>
-      Bgee.parse(s, s"$dir/Mus_musculus_expr_simple.tsv.gz", taxonId = "NCBITaxon:10090")))
+      Bgee.parse(s, s"$dir/Mus_musculus_expr_simple.tsv.gz", taxonId = "NCBITaxon:10090")),
+    "SGD" -> ((s, dir) => Sgd.parse(s, dir)))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -406,6 +406,28 @@ class ParsersSpec extends SparkSpec {
     assert(gene.getAs[String]("taxon") == "NCBITaxon:9606")
   }
 
+  test("SGD: six csv extractions union into one graph") {
+    val g = Sgd.parse(spark, s"$res/sgd")
+    assert(g.edges.count() == 6) // 2 GO + 1 pathway + 1 phenotype + 1 complex + 1 complex-GO
+    val byPred = g.edges.collect().groupBy(_.getAs[String]("predicate"))
+    assert(byPred.keySet == Set("biolink:actively_involved_in", "biolink:active_in",
+      "biolink:participates_in", "biolink:genetic_association",
+      "biolink:in_complex_with", "biolink:enables"))
+    val go = byPred("biolink:actively_involved_in").head
+    assert(go.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:11046132"))
+    val goUnpub = byPred("biolink:active_in").head
+    assert(goUnpub.getAs[scala.collection.Seq[String]]("publications") == Seq()) // '?' guarded
+    val cpx = byPred("biolink:in_complex_with").head
+    assert(cpx.getAs[String]("object") == "CPX:CPX-1234")
+    val pheno = byPred("biolink:genetic_association").head
+    assert(pheno.getAs[String]("object") == "APO:0000112_inviable")
+    // '?' gene symbol falls back to the secondary id
+    val fallback = g.nodes.filter(col("id") === "SGD:S000003424").head()
+    assert(fallback.getAs[String]("name") == "YGL123W")
+    val gene = g.nodes.filter(col("id") === "SGD:S000002429").head()
+    assert(gene.getAs[String]("chromosomeLocation") == "4:210500-205300, strand: -")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
