@@ -61,7 +61,8 @@ object Registry {
       Bgee.parse(s, s"$dir/Homo_sapiens_expr_simple.tsv.gz", taxonId = "NCBITaxon:9606")),
     "BgeeMouse" -> ((s, dir) =>
       Bgee.parse(s, s"$dir/Mus_musculus_expr_simple.tsv.gz", taxonId = "NCBITaxon:10090")),
-    "SGD" -> ((s, dir) => Sgd.parse(s, dir)))
+    "SGD" -> ((s, dir) => Sgd.parse(s, dir)),
+    "PANTHER" -> ((s, dir) => Panther.parse(s, s"$dir/PTHR*_human")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

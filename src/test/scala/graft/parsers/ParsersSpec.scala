@@ -428,6 +428,24 @@ class ParsersSpec extends SparkSpec {
     assert(gene.getAs[String]("chromosomeLocation") == "4:210500-205300, strand: -")
   }
 
+  test("PANTHER: family/subfamily classification fan-out") {
+    val g = Panther.parse(spark, s"$res/panther/PTHR19.0_human")
+    assert(g.edges.count() == 14)
+    assert(g.nodes.count() == 9)
+    val byPred = g.edges.collect().groupBy(_.getAs[String]("predicate"))
+    assert(byPred("RO:0002350").length == 4) // 2 subfam→fam + gene→fam + gene→subfam
+    assert(byPred("RO:0002331").length == 4) // 2 bio processes × (fam, subfam)
+    assert(byPred("RO:0002327").length == 2) // molecular function
+    assert(byPred("RO:0001025").length == 2) // cellular component
+    assert(byPred("RO:0000057").length == 2) // pathway has-participant
+    // the 'Gene' placeholder id is skipped; the HGNC id is normalized
+    val geneSubjects = byPred("RO:0002350").map(_.getAs[String]("subject")).toSet
+    assert(geneSubjects.contains("HGNC:11998"))
+    assert(!geneSubjects.exists(_.contains("Q9H9Z1")))
+    val pathway = g.nodes.filter(col("id") === "PANTHER.PATHWAY:P00059").head()
+    assert(pathway.getAs[String]("name") == "p53 pathway")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
