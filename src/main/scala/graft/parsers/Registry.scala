@@ -62,7 +62,9 @@ object Registry {
     "BgeeMouse" -> ((s, dir) =>
       Bgee.parse(s, s"$dir/Mus_musculus_expr_simple.tsv.gz", taxonId = "NCBITaxon:10090")),
     "SGD" -> ((s, dir) => Sgd.parse(s, dir)),
-    "PANTHER" -> ((s, dir) => Panther.parse(s, s"$dir/PTHR*_human")))
+    "PANTHER" -> ((s, dir) => Panther.parse(s, s"$dir/PTHR*_human")),
+    "CHEBIProps" -> ((s, dir) =>
+      ChebiProperties.parse(s, s"$dir/compounds.tsv.gz", s"$dir/relation.tsv.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

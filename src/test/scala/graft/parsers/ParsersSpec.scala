@@ -446,6 +446,19 @@ class ParsersSpec extends SparkSpec {
     assert(pathway.getAs[String]("name") == "p53 pathway")
   }
 
+  test("ChEBI properties: role closure over is_a, abstract roles ignored") {
+    val g = ChebiProperties.parse(spark,
+      s"$res/chebi/compounds.tsv.gz", s"$res/chebi/relation.tsv.gz")
+    assert(g.nodes.count() == 1) // only aspirin carries roles
+    val n = g.nodes.head()
+    assert(n.getAs[String]("id") == "CHEBI:15365")
+    assert(n.getAs[String]("name") == "acetylsalicylic acid")
+    assert(n.getAs[Boolean]("CHEBI_ROLE_analgesic")) // direct role
+    assert(n.getAs[Boolean]("CHEBI_ROLE_drug"))      // is_a ancestor
+    assert(!g.nodes.columns.contains("CHEBI_ROLE_role")) // abstract root ignored
+    assert(g.edges.count() == 0)
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
