@@ -136,16 +136,19 @@ object DrugCentral {
       lit(Biolink.KnowledgeAssertion).as(Biolink.KnowledgeLevel),
       lit(Biolink.ManualAgent).as(Biolink.AgentType))
 
-    val actionType = snakify(coalesce(
-      when(col("action_type") =!= "", col("action_type")),
-      when(col("act_type") =!= "", col("act_type")),
-      lit("interacts_with")))
+    // hoisted: inlining the snakify per map branch explodes codegen
+    val actionType = col("_snake")
     val pks = mapLookup(col("act_source"), actTypeToKnowledgeSource)
     val pubs = when(
       (col("act_source") === "SCIENTIFIC LITERATURE") &&
         col("act_source_url").startsWith("http://www.ncbi.nlm.nih.gov/pubmed"),
       array(concat(lit("PMID:"), element_at(split(col("act_source_url"), "/"), -1))))
-    val bioactEdges = bioact.select(
+    val bioactEdges = bioact
+      .withColumn("_snake", snakify(coalesce(
+        when(col("action_type") =!= "", col("action_type")),
+        when(col("act_type") =!= "", col("act_type")),
+        lit("interacts_with"))))
+      .select(
       concat(lit("DrugCentral:"), col("struct_id")).as(Biolink.Subject),
       mapLookup(actionType, dgidbPredicateMapping).as(Biolink.Predicate),
       concat(lit("UniProtKB:"), col("accession")).as(Biolink.Object_),

@@ -98,11 +98,9 @@ object Pharos {
       concat(lit("CHEMBL.COMPOUND:CHEMBL"), regexp_replace(cid, "CHEMBL", "")))
       .when(idSrc === "Guide to Pharmacology", concat(lit("GTOPDB:"), cid))
 
-  private def activityPredicate(pred: Column): Column = {
-    val raw = when(pred.isNotNull && length(pred) > 1, DrugCentral.snakify(pred))
+  private def snakePred(pred: Column): Column =
+    when(pred.isNotNull && length(pred) > 1, DrugCentral.snakify(pred))
       .otherwise("interacts_with")
-    mapLookup(raw, DrugCentral.dgidbPredicateMapping)
-  }
 
   private val edgeSchema = Seq("subject", "predicate", "object",
     "primary_knowledge_source", "aggregator_knowledge_source", "score",
@@ -153,9 +151,10 @@ object Pharos {
           when(col("pubmed_ids").isNotNull,
             transform(split(col("pubmed_ids"), "\\|"), p => concat(lit("PMID:"), p)))
         else lit(null).cast("array<string>")
-      df.select(
+      // hoisted snakify: inlining it per map branch explodes codegen
+      df.withColumn("_snake", snakePred(col("pred"))).select(
         compoundId(col("id_src"), col("cid")).as(Biolink.Subject),
-        activityPredicate(col("pred")).as(Biolink.Predicate),
+        mapLookup(col("_snake"), DrugCentral.dgidbPredicateMapping).as(Biolink.Predicate),
         col("value").as(Biolink.Object_),
         lit(provenance).as(Biolink.PrimaryKnowledgeSource),
         lit(null).cast("array<string>").as(Biolink.AggregatorKnowledgeSources),

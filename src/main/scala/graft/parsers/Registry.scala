@@ -64,7 +64,8 @@ object Registry {
     "SGD" -> ((s, dir) => Sgd.parse(s, dir)),
     "PANTHER" -> ((s, dir) => Panther.parse(s, s"$dir/PTHR*_human")),
     "CHEBIProps" -> ((s, dir) =>
-      ChebiProperties.parse(s, s"$dir/compounds.tsv.gz", s"$dir/relation.tsv.gz")))
+      ChebiProperties.parse(s, s"$dir/compounds.tsv.gz", s"$dir/relation.tsv.gz")),
+    "GtoPdb" -> ((s, dir) => GtoPdb.parse(s, dir)))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -459,6 +459,24 @@ class ParsersSpec extends SparkSpec {
     assert(g.edges.count() == 0)
   }
 
+  test("GtoPdb: interaction predicates, gene-product + has-part edges") {
+    val g = GtoPdb.parse(spark, s"$res/gtopdb")
+    assert(g.edges.count() == 5) // 2 ligand-gene + 1 gene-product + 2 has-part
+    val byPred = g.edges.collect().groupBy(_.getAs[String]("predicate"))
+    val inh = byPred("DGIdb:inhibitor").head
+    assert(inh.getAs[String]("subject") == "GTOPDB:1234")
+    assert(inh.getAs[String]("object") == "ENSEMBL:ENSG00000073756")
+    assert(inh.getAs[Boolean]("primaryTarget"))
+    assert(inh.getAs[Double]("affinity") == 5.9)
+    assert(inh.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:111", "PMID:222"))
+    val gp = byPred("RO:0002205").head // human peptide ligand's gene
+    assert(gp.getAs[String]("subject") == "HGNC:11517")
+    assert(gp.getAs[String]("object") == "GTOPDB:5678")
+    assert(byPred("BFO:0000051").map(_.getAs[String]("object")).toSet ==
+      Set("GTOPDB:4445", "GTOPDB:4446")) // mouse peptide skipped
+    assert(g.nodes.filter(col("id") === "HGNC:11517").count() == 1)
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
