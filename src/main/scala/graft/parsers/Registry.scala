@@ -65,7 +65,11 @@ object Registry {
     "PANTHER" -> ((s, dir) => Panther.parse(s, s"$dir/PTHR*_human")),
     "CHEBIProps" -> ((s, dir) =>
       ChebiProperties.parse(s, s"$dir/compounds.tsv.gz", s"$dir/relation.tsv.gz")),
-    "GtoPdb" -> ((s, dir) => GtoPdb.parse(s, dir)))
+    "GtoPdb" -> ((s, dir) => GtoPdb.parse(s, dir)),
+    "MGIGenePhenotypes" -> ((s, dir) =>
+      Mgi.parseGenePhenotypes(s, s"$dir/MGI_GenePheno.rpt", s"$dir/MRK_List2.rpt.gz")),
+    "MGIGeneDisease" -> ((s, dir) =>
+      Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -477,6 +477,31 @@ class ParsersSpec extends SparkSpec {
     assert(g.nodes.filter(col("id") === "HGNC:11517").count() == 1)
   }
 
+  test("MGI: gene-marker join gates, phenotype and disease-model edges") {
+    val ph = Mgi.parseGenePhenotypes(spark,
+      s"$res/mgi/MGI_GenePheno.rpt", s"$res/mgi/MRK_List2.rpt.gz")
+    // row1: Pax6; row2: a2m kept, QTL marker dropped; row3: no MP id
+    assert(ph.edges.count() == 2)
+    val pax = ph.edges.filter(col("subject") === "MGI:97490").head()
+    assert(pax.getAs[String]("predicate") == "biolink:has_phenotype")
+    assert(pax.getAs[String]("object") == "MP:0001262")
+    assert(pax.getAs[scala.collection.Seq[String]]("publications") ==
+      Seq("PMID:12345", "PMID:67890")) // comma-separated input
+    assert(pax.getAs[scala.collection.Seq[String]]("mgi_genotype_id") == Seq("MGI:2166359"))
+    val a2m = ph.edges.filter(col("subject") === "MGI:87853").head()
+    assert(a2m.getAs[scala.collection.Seq[String]]("publications") == null)
+    assert(ph.nodes.filter(col("id") === "MGI:97490").head()
+      .getAs[String]("name") == "Pax6")
+
+    val dz = Mgi.parseGeneDisease(spark,
+      s"$res/mgi/MGI_DO.rpt", s"$res/mgi/MRK_List2.rpt.gz")
+    assert(dz.edges.count() == 1) // human row + QTL marker row dropped
+    val e = dz.edges.head()
+    assert(e.getAs[String]("subject") == "NCBIGene:18508")
+    assert(e.getAs[String]("predicate") == "biolink:model_of")
+    assert(e.getAs[String]("object") == "DOID:12271")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
