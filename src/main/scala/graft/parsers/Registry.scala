@@ -69,7 +69,8 @@ object Registry {
     "MGIGenePhenotypes" -> ((s, dir) =>
       Mgi.parseGenePhenotypes(s, s"$dir/MGI_GenePheno.rpt", s"$dir/MRK_List2.rpt.gz")),
     "MGIGeneDisease" -> ((s, dir) =>
-      Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")))
+      Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")),
+    "Cord19" -> ((s, dir) => Cord19.parse(s, dir)))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -502,6 +502,27 @@ class ParsersSpec extends SparkSpec {
     assert(e.getAs[String]("object") == "DOID:12271")
   }
 
+  test("Cord19: four extractions + covid/coronavirus mirror pass") {
+    val g = Cord19.parse(spark, s"$res/cord19")
+    assert(g.edges.count() == 9) // 5 base + 4 mirrored
+    val edges = g.edges.collect()
+    // scibite underscores stripped
+    assert(edges.exists(_.getAs[String]("subject") == "HP0030828"))
+    // covid-disease edge gains a taxon copy (and vice versa)
+    val chebi = edges.filter(_.getAs[String]("object") == "CHEBI:15365")
+      .map(_.getAs[String]("subject")).toSet
+    assert(chebi == Set("MONDO:0100096", "NCBITaxon:2697049"))
+    val gene = edges.filter(_.getAs[String]("object") == "NCBIGene:100")
+      .map(_.getAs[String]("subject")).toSet
+    assert(gene == Set("MONDO:0100096", "NCBITaxon:2697049"))
+    // trials edge mirrored on the object side
+    val trials = edges.filter(_.getAs[String]("predicate") == "ROBOKOVID:tested_in")
+      .map(_.getAs[String]("object")).toSet
+    assert(trials == Set("MONDO:0100096", "NCBITaxon:2697049"))
+    val phen = edges.filter(_.getAs[String]("predicate") == "RO:0002200")
+    assert(phen.forall(_.getAs[String]("notes") == "common symptom"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
