@@ -70,7 +70,9 @@ object Registry {
       Mgi.parseGenePhenotypes(s, s"$dir/MGI_GenePheno.rpt", s"$dir/MRK_List2.rpt.gz")),
     "MGIGeneDisease" -> ((s, dir) =>
       Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")),
-    "Cord19" -> ((s, dir) => Cord19.parse(s, dir)))
+    "Cord19" -> ((s, dir) => Cord19.parse(s, dir)),
+    "COHD" -> ((s, dir) => Cohd.parse(s, dir)),
+    "EHRMayTreatKP" -> ((s, dir) => EhrMayTreat.parse(s, s"$dir/may_treat_edges.csv")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -523,6 +523,26 @@ class ParsersSpec extends SparkSpec {
     assert(phen.forall(_.getAs[String]("notes") == "common symptom"))
   }
 
+  test("COHD: jsonl passthrough with TRAPI sources flattening") {
+    val g = Cohd.parse(spark, s"$res/cohd")
+    assert(g.nodes.count() == 2 && g.edges.count() == 1)
+    val e = g.edges.head()
+    assert(e.getAs[String]("primary_knowledge_source") == "infores:cohd")
+    assert(e.getAs[String]("supporting_data_source") == "infores:columbia")
+    assert(!g.edges.columns.contains("sources"))
+  }
+
+  test("EHR may-treat: ignore columns dropped, typed props, JSON CI array") {
+    val g = EhrMayTreat.parse(spark, s"$res/ehr/may_treat_edges.csv")
+    assert(g.edges.count() == 1 && g.nodes.count() == 2)
+    val e = g.edges.head()
+    assert(e.getAs[String]("predicate") == "biolink:may_treat")
+    assert(e.getAs[Double]("auc_roc") == 0.82)
+    assert(e.getAs[Long]("total_sample_size") == 12000L)
+    assert(e.getAs[scala.collection.Seq[Double]]("log_odds_ratio_95_ci") == Seq(1.2, 1.8))
+    assert(!g.edges.columns.contains("subject_name"))
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
