@@ -72,7 +72,9 @@ object Registry {
       Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")),
     "Cord19" -> ((s, dir) => Cord19.parse(s, dir)),
     "COHD" -> ((s, dir) => Cohd.parse(s, dir)),
-    "EHRMayTreatKP" -> ((s, dir) => EhrMayTreat.parse(s, s"$dir/may_treat_edges.csv")))
+    "EHRMayTreatKP" -> ((s, dir) => EhrMayTreat.parse(s, s"$dir/may_treat_edges.csv")),
+    "OHD-Carolina" -> ((s, dir) =>
+      OhdCarolina.parse(s, s"$dir/unc_omop_2018_2022_kg.zip", "unc_omop_2018_2022_kg.csv")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

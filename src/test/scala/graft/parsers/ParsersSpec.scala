@@ -543,6 +543,20 @@ class ParsersSpec extends SparkSpec {
     assert(!g.edges.columns.contains("subject_name"))
   }
 
+  test("OHD-Carolina: zip-member clinical stats edges") {
+    val g = OhdCarolina.parse(spark, s"$res/ohd/unc_omop_2018_2022_kg.zip",
+      "unc_omop_2018_2022_kg.csv")
+    assert(g.edges.count() == 1 && g.nodes.count() == 2)
+    val e = g.edges.head()
+    assert(e.getAs[String]("predicate") == "biolink:correlated_with")
+    assert(e.getAs[Double]("p_value") == 1e-30)
+    assert(e.getAs[scala.collection.Seq[Double]]("log_odds_ratio_95_ci") == Seq(1.9, 2.3))
+    assert(e.getAs[Long]("total_sample_size") == 250000L)
+    assert(e.getAs[String]("knowledge_level") == "statistical_association")
+    assert(g.nodes.filter(col("id") === "RXCUI:861007").head()
+      .getAs[String]("name") == "metformin")
+  }
+
   test("registry drives parsers by source id") {
     val g = Registry("HGNC")(spark, s"$res/hgnc")
     assert(g.edges.count() == 4)
