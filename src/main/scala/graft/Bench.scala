@@ -14,21 +14,30 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
+      try {
         fn(spark, sfDir).count() // warm-up: codegen + shuffle files + page cache
         // cross-query hygiene: drop the previous query's cache entries and
         // let the ContextCleaner release orphaned checkpoint blocks, so a
         // query's timing isn't polluted by its neighbors' leftover state
         spark.sharedState.cacheManager.clearCache()
         System.gc()
-        time(fn(spark, sfDir).count())
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+        (name, time(fn(spark, sfDir).count()), None: Option[String])
+      } catch {
+        case e: Throwable =>
+          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200) + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a throwing query must fail loud: its message lands in `errors` and the
+    // headline total is poisoned to -1 so a regression can't shrink the number
+    val errors = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total =
+      if (results.exists(_._3.isDefined)) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

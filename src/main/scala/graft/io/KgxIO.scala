@@ -13,11 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object KgxIO {
 
+  /** Expand a path (file, directory, or glob) to its concrete data files in
+    * SORTED path order, via the Hadoop FS API (works on any FileSystem).
+    * Merge semantics are first-truthy-wins in ordinal order, and the ordinal
+    * derives from scan order — so the file list feeding a scan must not
+    * depend on FS listing order (OS-/HDFS-dependent). Sorting here pins it. */
+  def resolveSorted(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+          .filterNot(f => { val n = f.getPath.getName; n.startsWith("_") || n.startsWith(".") })
+      else Seq(st)
+    }
+    if (files.isEmpty) Seq(path) // let Spark surface the read error
+    else files.map(_.getPath.toString).sorted
+  }
+
   /** S1 — read one or more KGX jsonl(.gz) file sets with per-file schema
-    * inference unioned by name (SURVEY §1.2 strategy (a)). */
+    * inference unioned by name (SURVEY §1.2 strategy (a)). Each path's file
+    * set is resolved and sorted first so downstream ordinals are
+    * reproducible under any FS listing order. */
   def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "no input files")
-    paths.map(p => spark.read.json(p))
+    paths.map(p => spark.read.json(resolveSorted(spark, p): _*))
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 

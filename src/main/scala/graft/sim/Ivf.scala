@@ -26,15 +26,27 @@ object Ivf {
     * deterministic across runs, no MLlib dependency. */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 10,
             vecCol: String = "embedding", sampleCap: Int = 10000,
-            seed: Long = 42L): IvfIndex = {
+            seed: Long = 42L, sampleFraction: Double = 0.01): IvfIndex = {
     // random sample across ALL partitions, not limit(): limit takes the
     // first files' rows, so at scale the quantizer would train on one
-    // source's distribution and every other cell would sit empty
-    val n = corpus.count()
-    val fraction = if (n <= sampleCap) 1.0 else math.min(1.0, sampleCap * 1.2 / n)
-    val sample = corpus.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+    // source's distribution and every other cell would sit empty.
+    // Fast path: a blind fixed fraction + limit — ONE job, no sizing count()
+    // over the corpus. It fills the cap whenever the corpus has
+    // ≥ sampleCap/sampleFraction rows (1M at the defaults) — i.e. always at
+    // scale. Only when the blind sample comes up short (corpus provably
+    // small, ≲ 1M rows) do we pay a count() to pick an exact fraction.
+    val vecs = corpus.select(col(vecCol))
+    val blind = vecs.sample(withReplacement = false, math.min(1.0, sampleFraction), seed)
       .limit(sampleCap).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val rows =
+      if (blind.length >= sampleCap) blind
+      else {
+        val n = corpus.count() // small corpus — exact sizing is cheap here
+        if (n <= sampleCap) vecs.collect()
+        else vecs.sample(withReplacement = false, math.min(1.0, sampleCap * 1.2 / n), seed)
+          .limit(sampleCap).collect()
+      }
+    val sample = rows.map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
