@@ -31,6 +31,7 @@ object Biolink {
   val ComputationalModel = "computational_model"
   val ManualValidationOfAutomatedAgent = "manual_validation_of_automated_agent"
   val Publications = "publications"
+  val Negated = "negated"
 
   val qualifierKeys: Set[String] = Set(
     "anatomical_context_qualifier", "causal_mechanism_qualifier",

@@ -68,6 +68,14 @@ object Goa {
       when(c === k, lit(v)).otherwise(acc)
     }
 
+  /** One-taxon-per-line filter file → set (PlantGOA's plant_taxa.txt;
+    * ref parsers/GOA/src/loadGOA.py:274-280). */
+  def taxaSet(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   /** gaf(.gz) scan: headerless, '!' comments (Spark reads .gz transparently). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read

@@ -119,4 +119,32 @@ object Mgi {
         lit(null).cast("string").as("taxon")).dropDuplicates("id")
     ExtractedGraph(geneNodes.unionByName(diseaseNodes), edges)
   }
+
+  /** MP→EMAPA phenotype-anatomy associations (MP_EMAPA.rpt, headerless
+    * 4 columns). Reference (parsers/MGI/src/loadMGI.py:374-426): rows with
+    * a column count other than 4 or a missing MP/EMAPA id are skipped;
+    * MP (PhenotypicFeature) --biolink:affects--> EMAPA (AnatomicalEntity)
+    * with the shared KL/AT edge properties. */
+  def parsePhenotypeAnatomy(spark: SparkSession, path: String): ExtractedGraph = {
+    import spark.implicits._
+    val rows = spark.read.textFile(path)
+      .map(_.split("\t", -1))
+      .filter(r => r.length == 4 && r(0).nonEmpty && r(2).nonEmpty)
+      .map(r => (r(0), r(1), r(2), r(3)))
+      .toDF("mp_id", "mp_label", "emapa_id", "emapa_label")
+
+    val edges = rows.select(
+      col("mp_id").as(Biolink.Subject),
+      lit("biolink:affects").as(Biolink.Predicate),
+      col("emapa_id").as(Biolink.Object_),
+      lit(provenance).as(Biolink.PrimaryKnowledgeSource),
+      lit(Biolink.KnowledgeAssertion).as(Biolink.KnowledgeLevel),
+      lit(Biolink.ManualAgent).as(Biolink.AgentType))
+
+    val mpNodes = rows.select(col("mp_id").as("id"), col("mp_label").as("name"),
+      array(lit("biolink:PhenotypicFeature")).as("category"))
+    val emapaNodes = rows.select(col("emapa_id").as("id"), col("emapa_label").as("name"),
+      array(lit("biolink:AnatomicalEntity")).as("category"))
+    ExtractedGraph(mpNodes.unionByName(emapaNodes).dropDuplicates("id"), edges)
+  }
 }

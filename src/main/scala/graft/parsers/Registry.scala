@@ -17,8 +17,21 @@ object Registry {
     "HumanGOA" -> ((s, dir) =>
       Goa.parse(s, s"$dir/goa_human.gaf.gz", taxonFilter = Some(Set("taxon:9606")))),
     "GOA" -> ((s, dir) => Goa.parse(s, s"$dir/goa.gaf")),
+    "MouseGOA" -> ((s, dir) => Goa.parse(s, s"$dir/mgi.gaf.gz")),
+    // PlantGOA filters the full-uniprot GAF by the plant taxa list
+    // (parsers/GOA/src/loadGOA.py:260-280)
+    "PlantGOA" -> ((s, dir) =>
+      Goa.parse(s, s"$dir/filtered_goa_uniprot_all.gaf.gz",
+        taxonFilter = Some(Goa.taxaSet(s"$dir/plant_taxa.txt")))),
     "UbergraphNonredundant" -> ((s, dir) =>
       UberGraph.parse(s, s"$dir/nonredundant-graph-table.tgz", "nonredundant-graph-table")),
+    // redundant graph: full inference closure; OntologicalHierarchy is its
+    // subclass-only slice (parsers/UberGraph/src/loadUG.py:112-156)
+    "UbergraphRedundant" -> ((s, dir) =>
+      UberGraph.parse(s, s"$dir/redundant-graph-table.tgz", "redundant-graph-table")),
+    "OntologicalHierarchy" -> ((s, dir) =>
+      UberGraph.parse(s, s"$dir/redundant-graph-table.tgz", "redundant-graph-table",
+        onlySubclassEdges = true)),
     "CTD" -> ((s, dir) =>
       CtdChemGene.parse(s, s"$dir/CTD_chem_gene_ixns_structured.tar.gz")),
     "GTEx-eqtl" -> ((s, dir) => Gtex.parse(s, s"$dir/eqtl.tar", isSqtl = false)),
@@ -29,6 +42,8 @@ object Registry {
       ClinGenGeneDisease.parse(s, s"$dir/clingen_gene_disease_validity.tsv")),
     "STRING-DB-Human" -> ((s, dir) =>
       StringDb.parse(s, s"$dir/9606.protein.links.full.txt.gz", taxonId = "9606")),
+    "STRING-DB-Yeast" -> ((s, dir) =>
+      StringDb.parse(s, s"$dir/4932.protein.links.full.txt.gz", taxonId = "4932")),
     "Hetio" -> ((s, dir) => Hetio.parse(s, s"$dir/hetionet-v1.0.json.bz2")),
     "BINDING-DB" -> ((s, dir) =>
       BindingDb.parse(s, s"$dir/BindingDB_All.tsv.zip", "BindingDB_All.tsv")),
@@ -46,6 +61,8 @@ object Registry {
       DrugCentral.parse(s, s"jdbc:derby:$dir/dcdb")),
     "MonarchKG" -> ((s, dir) =>
       MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz")),
+    "MonarchKGFull" -> ((s, dir) =>
+      MonarchKg.parse(s, s"$dir/monarch-kg.jsonl.tar.gz", filtered = false)),
     "DrugMechDB" -> ((s, dir) => DrugMechDb.parse(s, s"$dir/indication_paths.json")),
     "IntAct" -> ((s, dir) => IntAct.parse(s, s"$dir/intact.zip")),
     "CAM-KP" -> ((s, dir) => CamKp.parse(s, s"$dir/cam-kg.tsv.gz")),
@@ -70,9 +87,20 @@ object Registry {
       Mgi.parseGenePhenotypes(s, s"$dir/MGI_GenePheno.rpt", s"$dir/MRK_List2.rpt.gz")),
     "MGIGeneDisease" -> ((s, dir) =>
       Mgi.parseGeneDisease(s, s"$dir/MGI_DO.rpt", s"$dir/MRK_List2.rpt.gz")),
+    "MGIPhenotypeAnatomy" -> ((s, dir) =>
+      Mgi.parsePhenotypeAnatomy(s, s"$dir/MP_EMAPA.rpt")),
     "Cord19" -> ((s, dir) => Cord19.parse(s, dir)),
     "COHD" -> ((s, dir) => Cohd.parse(s, dir)),
     "EHRMayTreatKP" -> ((s, dir) => EhrMayTreat.parse(s, s"$dir/may_treat_edges.csv")),
+    // same CSV shape, different deploy file + provenance
+    // (parsers/ehr/src/loadEHR.py:86-105)
+    "EHRClinicalConnections" -> ((s, dir) =>
+      EhrMayTreat.parse(s, s"$dir/ClinicalConnections_KP_edges_latest_deploy.csv")),
+    "ClinGenDosageSensitivity" -> ((s, dir) =>
+      ClinGenDosage.parse(s, s"$dir/ClinGen_gene_curation_list_GRCh38.tsv",
+        s"$dir/ClinGen_region_curation_list_GRCh38.tsv")),
+    "ClinGenVariantPathogenicity" -> ((s, dir) =>
+      ClinGenVariantPath.parse(s, s"$dir/clingen_variant_pathogenicity.tsv")),
     "OHD-Carolina" -> ((s, dir) =>
       OhdCarolina.parse(s, s"$dir/unc_omop_2018_2022_kg.zip", "unc_omop_2018_2022_kg.csv")))
 

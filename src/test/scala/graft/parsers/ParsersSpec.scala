@@ -562,4 +562,107 @@ class ParsersSpec extends SparkSpec {
     assert(g.edges.count() == 4)
     intercept[IllegalArgumentException] { Registry("NotARealSource") }
   }
+
+  test("MouseGOA: registry variant reads mgi.gaf.gz unfiltered") {
+    val g = Registry("MouseGOA")(spark, s"$res/goa")
+    assert(g.edges.count() == 3 && g.nodes.count() == 8)
+  }
+
+  test("PlantGOA: plant_taxa.txt filter keeps only listed taxa") {
+    val g = Registry("PlantGOA")(spark, s"$res/goa")
+    assert(g.edges.count() == 2) // 9606 + 10090 rows filtered out
+    val subs = g.edges.select("subject").collect().map(_.getString(0)).toSet
+    assert(subs == Set("UniProtKB:Q00001", "UniProtKB:Q00002"))
+    assert(g.nodes.count() == 4)
+  }
+
+  test("STRING-DB-Yeast: taxon parameterization strips 4932 prefix") {
+    val g = Registry("STRING-DB-Yeast")(spark, s"$res/string")
+    assert(g.edges.count() == 4) // same shape as the human fixture
+    val e = g.edges.head()
+    assert(e.getAs[String]("species_context_qualifier") == "NCBITaxon:4932")
+    assert(g.edges.filter(col("subject").startsWith("ENSEMBL:")).count() == 4)
+  }
+
+  test("MGIPhenotypeAnatomy: malformed and id-less rows skipped") {
+    val g = Registry("MGIPhenotypeAnatomy")(spark, s"$res/mgi")
+    assert(g.edges.count() == 2 && g.nodes.count() == 4)
+    val e = g.edges.filter(col("subject") === "MP:0000001").head()
+    assert(e.getAs[String]("predicate") == "biolink:affects")
+    assert(e.getAs[String]("object") == "EMAPA:16039")
+    assert(e.getAs[String]("knowledge_level") == "knowledge_assertion")
+    val anat = g.nodes.filter(col("id") === "EMAPA:16039").head()
+    assert(anat.getAs[String]("name") == "heart")
+    assert(anat.getAs[scala.collection.Seq[String]]("category") == Seq("biolink:AnatomicalEntity"))
+  }
+
+  test("EHRClinicalConnections: deploy-file variant parses the same shape") {
+    val g = Registry("EHRClinicalConnections")(spark, s"$res/ehr")
+    assert(g.edges.count() == 2 && g.nodes.count() == 3)
+    assert(g.edges.filter(col("primary_knowledge_source") ===
+      "infores:isb-EHRMLA-clinicalconnections").count() == 2)
+  }
+
+  test("MonarchKGFull: registry variant skips predicate/source filtering") {
+    val g = Registry("MonarchKGFull")(spark, s"$res/monarch")
+    assert(g.edges.count() == 5) // only the empty-predicate row drops
+  }
+
+  test("UbergraphRedundant + OntologicalHierarchy: redundant tgz slices") {
+    val red = Registry("UbergraphRedundant")(spark, s"$res/ubergraph")
+    assert(red.edges.count() == 2 && red.nodes.count() == 3)
+    val oh = Registry("OntologicalHierarchy")(spark, s"$res/ubergraph")
+    assert(oh.edges.count() == 1)
+    assert(oh.edges.head().getAs[String]("predicate") == "rdfs:subClassOf")
+  }
+
+  test("ClinGenDosageSensitivity: HI/TS fan-out, score negation, defaults") {
+    val g = Registry("ClinGenDosageSensitivity")(spark, s"$res/clingen")
+    assert(g.edges.count() == 5) // 4 gene edges + 1 region edge
+    assert(g.nodes.count() == 9)
+    val hiA = g.edges.filter(col("subject") === "NCBIGene:100").head()
+    assert(hiA.getAs[String]("predicate") == "gene associated with condition")
+    assert(hiA.getAs[String]("object") == "MONDO:0000001")
+    assert(!hiA.getAs[Boolean]("negated"))
+    assert(hiA.getAs[String]("HAPLOINSUFFICIENCY_SCORE") == "3")
+    val bEdges = g.edges.filter(col("subject") === "NCBIGene:200").collect()
+      .map(r => Option(r.getAs[String]("TRIPLOSENSITIVITY_SCORE")) -> r).toMap
+    // HI with empty disease id → human-disease default, negated
+    val hiB = bEdges(None)
+    assert(hiB.getAs[String]("object") == "MONDO:0700096")
+    assert(hiB.getAs[Boolean]("negated"))
+    val tsB = bEdges(Some("40"))
+    assert(tsB.getAs[String]("object") == "MONDO:0000002")
+    assert(tsB.getAs[Boolean]("negated"))
+    val hiC = g.edges.filter(col("subject") === "NCBIGene:300").head()
+    assert(hiC.getAs[String]("Status") == "Not planned to be evaluated")
+    assert(hiC.getAs[Boolean]("negated"))
+    val region = g.edges.filter(col("subject") === "ISCA:46295").head()
+    assert(region.getAs[String]("predicate") == "region associated with condition")
+    assert(!region.getAs[Boolean]("negated"))
+  }
+
+  test("ClinGenVariantPathogenicity: retracted drop, MOI lookup, assertion map") {
+    val g = Registry("ClinGenVariantPathogenicity")(spark, s"$res/clingen")
+    assert(g.edges.count() == 2) // retracted row dropped entirely
+    assert(g.nodes.count() == 4) // its endpoints dropped too
+    val rows = g.edges.collect().map(r => r.getAs[String]("subject") -> r).toMap
+    val path = rows("CAID:CA000123")
+    assert(path.getAs[String]("predicate") == "causes")
+    assert(path.getAs[String]("object") == "MONDO:0005045")
+    assert(path.getAs[String]("DIRECTION") == "Supports")
+    assert(!path.getAs[Boolean]("negated"))
+    assert(path.getAs[scala.collection.Seq[String]]("publications") ==
+      Seq("PMID:12345", "PMID:67890"))
+    assert(path.getAs[scala.collection.Seq[String]]("HPO_FOR_MODE_OF_INHERITANCE") ==
+      Seq("HP:0000006"))
+    val vus = rows("CAID:CA000125")
+    assert(vus.getAs[String]("DIRECTION") == "Inconclusive")
+    assert(vus.getAs[Boolean]("negated"))
+    assert(vus.getAs[scala.collection.Seq[String]]("HPO_FOR_MODE_OF_INHERITANCE") ==
+      Seq("HP:0000006", "HP:0001442")) // mosaic maps to two terms
+    val vNode = g.nodes.filter(col("id") === "CAID:CA000123").head()
+    assert(vNode.getAs[scala.collection.Seq[String]]("category") == Seq("biolink:SequenceVariant"))
+    assert(vNode.getAs[String]("HGNC_GENE_SYMBOL") == "MYH7")
+  }
 }
