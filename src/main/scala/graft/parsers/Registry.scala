@@ -102,7 +102,26 @@ object Registry {
     "ClinGenVariantPathogenicity" -> ((s, dir) =>
       ClinGenVariantPath.parse(s, s"$dir/clingen_variant_pathogenicity.tsv")),
     "OHD-Carolina" -> ((s, dir) =>
-      OhdCarolina.parse(s, s"$dir/unc_omop_2018_2022_kg.zip", "unc_omop_2018_2022_kg.csv")))
+      OhdCarolina.parse(s, s"$dir/unc_omop_2018_2022_kg.zip", "unc_omop_2018_2022_kg.csv")),
+    "SIGNOR" -> ((s, dir) => Signor.parse(s, dir)),
+    // CCIDB's xlsx is consumed as its CSV export (spreadsheet codec =
+    // fetch-time concern); mapping tables ship with the parser
+    "CCIDB" -> ((s, dir) =>
+      Ccidb.parse(s, s"$dir/CCIDB_Human.csv", s"$dir/gene_mapping.csv",
+        s"$dir/term_mapping.csv")),
+    "ClinicalTrialsKP" -> ((s, dir) =>
+      Ctkp.parse(s, s"$dir/clinical_trials_kg_nodes_v2.2.10.tsv",
+        s"$dir/clinical_trials_kg_edges_v2.2.10.tsv")),
+    "Scent" -> ((s, dir) => Scent.parse(s, dir)),
+    "YeastHistoneMapping" -> ((s, dir) =>
+      Yeast.parseHistoneMap(s, s"$dir/HistoneModLoci.csv", s"$dir/HistoneMod2Gene.csv",
+        s"$dir/HistonePTM2GO.csv")),
+    "Costanza2016Data" -> ((s, dir) =>
+      Yeast.parseCostanza(s, s"$dir/Costanza2016GeneticInteractions.csv")),
+    "YeastGaschDiamideGeneExpression" -> ((s, dir) =>
+      Yeast.parseGasch(s, s"$dir/Gasch_Diamide_Gene_Expression.csv", s"$dir/SGDAllGenes.csv")),
+    "YeastGSE61888" -> ((s, dir) =>
+      Yeast.parseGse61888(s, s"$dir/HistoneMod2GSE61888.csv")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(
