@@ -121,7 +121,11 @@ object Registry {
     "YeastGaschDiamideGeneExpression" -> ((s, dir) =>
       Yeast.parseGasch(s, s"$dir/Gasch_Diamide_Gene_Expression.csv", s"$dir/SGDAllGenes.csv")),
     "YeastGSE61888" -> ((s, dir) =>
-      Yeast.parseGse61888(s, s"$dir/HistoneMod2GSE61888.csv")))
+      Yeast.parseGse61888(s, s"$dir/HistoneMod2GSE61888.csv")),
+    "HMDB" -> ((s, dir) => Hmdb.parse(s, s"$dir/hmdb_metabolites.zip")),
+    // one scan over whichever UniRef50/90/100 dumps are present; the
+    // similarity bin comes from each entry id, not the file name
+    "UniRef" -> ((s, dir) => UniRef.parse(s, s"$dir/UniRef*.xml")))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -189,6 +189,48 @@ class LongTailParsersSpec extends SparkSpec {
     assert(down.getAs[String]("predicate") == "biolink:decreases_expression_of")
   }
 
+  test("HMDB: XML record scan — pathway/disease/protein branches") {
+    val g = Registry("HMDB")(spark, s"$res/hmdb")
+    assert(g.edges.count() == 4) // 1 pathway + 1 disease + 2 proteins
+    assert(g.nodes.count() == 5) // edge-less metabolites drop
+    assert(g.nodes.filter(col("id") === "HMDB:HMDB0000002").count() == 0)
+    val path = g.edges.filter(col("object") === "SMPDB:SMP0000044").head()
+    assert(path.getAs[String]("subject") == "HMDB:HMDB0000001")
+    assert(path.getAs[String]("predicate") == "RO:0000056")
+    val dis = g.edges.filter(col("object") === "OMIM:222").head()
+    assert(dis.getAs[String]("predicate") == "RO:0002610")
+    assert(dis.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:999"))
+    // the reference-less OMIM:333 disease is skipped
+    assert(g.edges.filter(col("object") === "OMIM:333").count() == 0)
+    // Enzyme type: protein → metabolite; Unknown type: metabolite → protein
+    val enz = g.edges.filter(col("subject") === "UniProtKB:P11111").head()
+    assert(enz.getAs[String]("predicate") == "CTD:affects_abundance_of")
+    assert(enz.getAs[String]("object") == "HMDB:HMDB0000001")
+    val unk = g.edges.filter(col("object") === "UniProtKB:P22222").head()
+    assert(unk.getAs[String]("predicate") == "CTD:related_to")
+    assert(g.nodes.filter(col("id") === "UniProtKB:P11111").head()
+      .getAs[String]("name") == "Enzyme One")
+  }
+
+  test("UniRef: entry scan — taxon filter, rep homology spokes") {
+    val g = Registry("UniRef")(spark, s"$res/uniref")
+    assert(g.edges.count() == 3) // 2 in-taxon + 1 homology spoke
+    assert(g.nodes.count() == 4) // human member filtered; 2nd entry skipped
+    val hom = g.edges.filter(col("predicate") === "RO:HOM0000000").head()
+    assert(hom.getAs[String]("subject") == "UniProtKB:Q6GZX4")
+    assert(hom.getAs[String]("object") == "UniProtKB:A0A0F6NZX8")
+    assert(hom.getAs[String]("similarity_bin") == "UniRef50")
+    val inTaxon = g.edges.filter(col("predicate") === "RO:0002162" &&
+      col("subject") === "UniProtKB:Q6GZX4").head()
+    assert(inTaxon.getAs[String]("object") == "NCBITaxon:654924")
+    val taxNode = g.nodes.filter(col("id") === "NCBITaxon:10493").head()
+    assert(taxNode.getAs[String]("name") == "Orf virus")
+    assert(taxNode.getAs[String]("taxon") == "NCBITaxon:10493")
+    assert(taxNode.getAs[scala.collection.Seq[String]]("category").head == "biolink:OrganismTaxon")
+    val protNode = g.nodes.filter(col("id") === "UniProtKB:A0A0F6NZX8").head()
+    assert(protNode.getAs[String]("name") == "Orf virus protein")
+  }
+
   test("YeastGSE61888: per-row modification series surfaces in its own column") {
     val g = Registry("YeastGSE61888")(spark, s"$res/yeast")
     assert(g.edges.count() == 2 && g.nodes.count() == 3)
