@@ -125,7 +125,16 @@ object Registry {
     "HMDB" -> ((s, dir) => Hmdb.parse(s, s"$dir/hmdb_metabolites.zip")),
     // one scan over whichever UniRef50/90/100 dumps are present; the
     // similarity bin comes from each entry id, not the file name
-    "UniRef" -> ((s, dir) => UniRef.parse(s, s"$dir/UniRef*.xml")))
+    "UniRef" -> ((s, dir) => UniRef.parse(s, s"$dir/UniRef*.xml")),
+    "LINCS" -> ((s, dir) => Cfde.parse(s, dir, Cfde.lincs)),
+    "MetabolomicsWorkbench" -> ((s, dir) => Cfde.parse(s, dir, Cfde.metabolomicsWorkbench)),
+    // CEBS xlsx consumed as its CSV export (spreadsheet codec = fetch-time
+    // concern, same seam as CCIDB)
+    "CEBS" -> ((s, dir) => Cebs.parse(s, s"$dir/TR_LOE_latest.csv")),
+    // both LitCoin variants parse identically — they differ only in which
+    // bagel backend filled the grounding cache (loadLitCoin.py:502-508)
+    "LitCoin" -> ((s, dir) => LitCoin.parse(s, dir)),
+    "LitCoinBagelService" -> ((s, dir) => LitCoin.parse(s, dir)))
 
   def apply(sourceId: String): Parser =
     parsers.getOrElse(sourceId, throw new IllegalArgumentException(

@@ -231,6 +231,78 @@ class LongTailParsersSpec extends SparkSpec {
     assert(protNode.getAs[String]("name") == "Orf virus protein")
   }
 
+  test("CEBS: evidence-level gate, ordered morphology resolution") {
+    val g = Registry("CEBS")(spark, s"$res/cebs")
+    assert(g.edges.count() == 2) // Equivocal/No Evidence rows dropped
+    assert(g.nodes.count() == 4)
+    val clear = g.edges.filter(col("subject") === "INCHIKEY:AAAKEY").head()
+    assert(clear.getAs[String]("predicate") == "biolink:associated_with_increased_likelihood_of")
+    assert(clear.getAs[String]("object") == "MONDO:0005070") // raw MONDO wins
+    assert(clear.getAs[String]("knowledge_level") == "knowledge_assertion")
+    assert(clear.getAs[scala.collection.Seq[String]]("publications") == Seq("TR:TR123"))
+    assert(clear.getAs[String]("anatomical_context_qualifier") == "UBERON:0002107")
+    assert(clear.getAs[String]("species_context_qualifier") == "NCBITaxon:10090")
+    assert(clear.getAs[String]("sex_qualifier") == "male")
+    val some = g.edges.filter(col("subject") === "INCHIKEY:BBBKEY").head()
+    assert(some.getAs[String]("predicate") == "biolink:associated_with_likelihood_of")
+    assert(some.getAs[String]("object") == "NCIT:C3058") // MPATH passed over
+    assert(some.getAs[String]("knowledge_level") == "observation")
+  }
+
+  test("LINCS: id fallback, PUBCHEM rewrite, unmappable endpoints drop") {
+    val g = Registry("LINCS")(spark, s"$res/cfde_lincs")
+    assert(g.nodes.count() == 4) // the id-less node drops
+    assert(g.edges.count() == 3) // the edge touching it drops too
+    val neg = g.edges.filter(col("predicate") === "RO:0002212").head()
+    assert(neg.getAs[String]("subject") == "PUBCHEM.COMPOUND:2244")
+    assert(neg.getAs[String]("object") == "HGNC:1100")
+    assert(neg.getAs[String]("agent_type") == "data_analysis_pipeline")
+    // unmapped relations pass through; secondary id column backfills
+    val custom = g.edges.filter(col("predicate") === "custom_relation").head()
+    assert(custom.getAs[String]("object") == "OMIM:600185")
+    assert(g.edges.filter(col("predicate") === "biolink:chemically_similar_to").count() == 1)
+    val g2 = g.nodes.filter(col("id") === "OMIM:600185").head()
+    assert(g2.getAs[scala.collection.Seq[String]]("category") == Seq("Gene"))
+  }
+
+  test("MetabolomicsWorkbench: same CFDE shape, its own config") {
+    val g = Registry("MetabolomicsWorkbench")(spark, s"$res/cfde_mw")
+    assert(g.nodes.count() == 4 && g.edges.count() == 2)
+    val corr = g.edges.filter(col("predicate") === "biolink:correlated_with").head()
+    assert(corr.getAs[String]("subject") == "PUBCHEM.COMPOUND:5793")
+    assert(corr.getAs[String]("object") == "CHV:0000012337") // CHV fallback id
+    assert(corr.getAs[String]("primary_knowledge_source") == "infores:metabolomics_workbench")
+    assert(g.edges.filter(col("predicate") === "biolink:produces").count() == 1)
+  }
+
+  test("LitCoin: inline + cached grounding, pred-mapping gate, mention edges") {
+    val g = Registry("LitCoin")(spark, s"$res/litcoin")
+    assert(g.edges.count() == 6) // 2 assertions + 4 mentions
+    assert(g.nodes.count() == 6)
+    val treats = g.edges.filter(col("predicate") === "biolink:treats").head()
+    assert(treats.getAs[String]("subject") == "RXCUI:861007") // inline bagelized
+    assert(treats.getAs[String]("object") == "MONDO:0005148")
+    assert(!treats.getAs[Boolean]("negated"))
+    assert(treats.getAs[scala.collection.Seq[String]]("publications") == Seq("PMID:1001"))
+    assert(treats.getAs[String]("subject_bagel_syn_type") == "exact")
+    assert(treats.getAs[String]("abstract_title") == "Metformin and diabetes")
+    assert(treats.getAs[String]("llm_relationship") == "treats")
+    // cache-grounded row: exact beats narrow, lower rank wins among exacts
+    val inhib = g.edges.filter(col("predicate") === "biolink:decreases_activity_of").head()
+    assert(inhib.getAs[String]("subject") == "PUBCHEM.COMPOUND:2244")
+    assert(inhib.getAs[String]("object") == "NCBIGene:5743")
+    // "NA" grounding, missing abstract, missing required field all drop
+    assert(g.edges.filter(col("llm_assertion_id").isin("as3", "as4", "as5")).count() == 0)
+    val mentions = g.edges.filter(col("predicate") === "IAO:0000142")
+    assert(mentions.count() == 4)
+    assert(mentions.filter(col("subject") === "PMID:1002").count() == 2)
+    val pub = g.nodes.filter(col("id") === "PMID:1001").head()
+    assert(pub.getAs[String]("abstract_text") == "Metformin treats type 2 diabetes.")
+    assert(pub.getAs[String]("journal") == "J Endo")
+    assert(g.nodes.filter(col("id") === "PUBCHEM.COMPOUND:2244").head()
+      .getAs[String]("name") == "aspirin")
+  }
+
   test("YeastGSE61888: per-row modification series surfaces in its own column") {
     val g = Registry("YeastGSE61888")(spark, s"$res/yeast")
     assert(g.edges.count() == 2 && g.nodes.count() == 3)
