@@ -2,11 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
-  * Each query runs twice — the first pass absorbs JVM/codegen/page-cache
-  * warm-up (one shared session, like a long-lived cluster app), the second
-  * is the reported steady-state time. Output: one JSON line.
+  * Each query runs once untimed (JVM/codegen/page-cache warm-up, one
+  * shared session like a long-lived cluster app), then three timed
+  * iterations; the reported per-query figure is the MEDIAN, so a stray
+  * GC pause or late JIT/codegen compile can't fabricate a multi-second
+  * regression (the round-3 q33 artifact). Min/max land in the JSON for
+  * variance auditing. Output: one JSON line.
   */
 object Bench {
+  val iterations = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -16,28 +21,35 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up: codegen + shuffle files + page cache
-        // cross-query hygiene: drop the previous query's cache entries and
-        // let the ContextCleaner release orphaned checkpoint blocks, so a
-        // query's timing isn't polluted by its neighbors' leftover state
-        spark.sharedState.cacheManager.clearCache()
-        System.gc()
-        (name, time(fn(spark, sfDir).count()), None: Option[String])
+        val times = (1 to iterations).map { _ =>
+          // cross-query hygiene: drop cache entries and let the
+          // ContextCleaner release orphaned blocks between iterations so
+          // timings aren't polluted by leftover state
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          time(fn(spark, sfDir).count())
+        }.sorted
+        (name, times(iterations / 2), times.head, times.last, None: Option[String])
       } catch {
         case e: Throwable =>
-          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          (name, -1.0, -1.0, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200) + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val maxs = results.map { case (k, _, _, mx, _) => "\"" + k + "\":" + mx }
       .mkString("{", ",", "}")
     // a throwing query must fail loud: its message lands in `errors` and the
     // headline total is poisoned to -1 so a regression can't shrink the number
-    val errors = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+    val errors = results.collect { case (k, _, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total =
-      if (results.exists(_._3.isDefined)) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+      if (results.exists(_._5.isDefined)) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
