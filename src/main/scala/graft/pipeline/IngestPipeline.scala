@@ -44,6 +44,14 @@ object IngestPipeline {
     def nodeNormMapDefined: Boolean = true
     def strictNormalization: Boolean = true
     def removeUnconnected: Boolean = true
+    /** D5 routing flag (ref orion/ingest_pipeline.py:436): sources whose
+      * nodes include sequence variants get the supplementation stage. */
+    def hasSequenceVariants: Boolean = false
+    /** The SnpEff subprocess seam (ref orion/supplementation.py:135-154):
+      * VCF frame in, annotated VCF frame out. Production overrides this to
+      * shell out to snpEff.jar; the default deterministic stub keeps the
+      * surrounding pipeline testable in-sandbox. */
+    def snpEff: DataFrame => DataFrame = graft.sources.Vcf.runSnpEffStub
   }
 
   final case class StageResult(stage: String, status: String, detail: String)
@@ -108,10 +116,10 @@ object IngestPipeline {
           s"nodes=${nodeStats.postNorm} failures=${nodeStats.failures} " +
           s"edges=${edgeStats.normalizedEdges} splits=${edgeStats.edgeSplits} " +
           s"failed_edges=${edgeStats.edgesFailedDueToNodes} loops=${edgeStats.subclassLoopsRemoved}")
-        (finalNodes, nEdges)
+        supplement(spark, loader, finalNodes, nEdges, Some((nm, pm)), stages)
       case None =>
         stages += StageResult("normalization", Stable.name, "pre-normalized")
-        (rawNodes, rawEdges)
+        supplement(spark, loader, rawNodes, rawEdges, None, stages)
     }
 
     val buildVersion = buildVersion0
@@ -124,6 +132,54 @@ object IngestPipeline {
     val outNodes = spark.read.parquet(s"$outDir/nodes.parquet")
     val outEdges = spark.read.parquet(s"$outDir/edges.parquet")
     IngestResult(loader.sourceId, buildVersion, outNodes, outEdges, stages.toSeq)
+  }
+
+  /** D5 — sequence-variant supplementation stage
+    * (ref orion/ingest_pipeline.py:382-485, orion/supplementation.py:92-138):
+    * normalized variant nodes → VCF → SnpEff seam → ANN parse →
+    * normalize-supplemental → union into the source's graph. Routed by
+    * `hasSequenceVariants`; sources without the flag record the stage as
+    * stable/not-needed (the reference's `supplementation_info = None`
+    * path). Supplemental edge subjects are the already-normalized variant
+    * ids (edge_subject_pre_normalized in the reference), expressed here as
+    * identity rows appended to the node map before edge normalization. */
+  private def supplement(spark: SparkSession, loader: SourceLoader,
+                         nodes: DataFrame, edges: DataFrame,
+                         maps: Option[(DataFrame, DataFrame)],
+                         stages: scala.collection.mutable.ArrayBuffer[StageResult])
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Vcf
+    if (!loader.hasSequenceVariants) {
+      stages += StageResult("supplementation", Stable.name, "not needed")
+      (nodes, edges)
+    } else {
+      // localCheckpoint the narrow VCF projection: breaks the lineage back
+      // to the node map (the supp normalization joins that map again — a
+      // self-join otherwise) and keeps only variant rows in memory
+      val vcf = Vcf.variantNodesToVcf(nodes).localCheckpoint()
+      val annotated = loader.snpEff(vcf)
+      val (suppNodesRaw, suppEdgesRaw) = Vcf.annotatedVcfToKgx(annotated)
+      val (suppNodes, suppEdges, detail) = maps match {
+        case Some((nm, pm)) =>
+          val (sn, snStats) = Normalizer.normalizeNodes(suppNodesRaw, nm, loader.strictNormalization)
+          val subjectIdentity = suppEdgesRaw
+            .select(col(graft.model.Biolink.Subject).as("orig_id")).distinct()
+            .withColumn("norm_id", col("orig_id"))
+          val edgeMap = nm.select(col("orig_id"), col("norm_id")).unionByName(subjectIdentity)
+          val (se, seStats) = Normalizer.normalizeEdges(suppEdgesRaw, edgeMap, pm,
+            Vcf.snpEffProvenance)
+          (sn, se,
+            s"supp_nodes=${snStats.postNorm} supp_node_failures=${snStats.failures} " +
+            s"supp_edges=${seStats.normalizedEdges} supp_failed_edges=${seStats.edgesFailedDueToNodes}")
+        case None =>
+          (suppNodesRaw, suppEdgesRaw,
+            s"supp_nodes=${suppNodesRaw.count()} supp_edges=${suppEdgesRaw.count()} (unnormalized)")
+      }
+      stages += StageResult("supplementation", Stable.name, detail)
+      (nodes.unionByName(suppNodes, allowMissingColumns = true),
+        edges.unionByName(suppEdges, allowMissingColumns = true))
+    }
   }
 
   /** O2 — build a graph from a spec: run every source, group by merge

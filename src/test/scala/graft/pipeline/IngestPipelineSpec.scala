@@ -31,7 +31,8 @@ class IngestPipelineSpec extends SparkSpec {
   test("runSource: parse→normalize stages recorded, meta sidecar written") {
     val dir = Files.createTempDirectory("ingest").toString
     val r = IngestPipeline.runSource(spark, loader("TESTSRC", 1 to 5, normalized = true), dir)
-    assert(r.stages.map(_.stage) == Seq("parsing", "normalization"))
+    assert(r.stages.map(_.stage) == Seq("parsing", "normalization", "supplementation"))
+    assert(r.stages.last.detail == "not needed") // no sequence variants
     assert(r.stages.forall(_.status == "stable"))
     assert(r.nodes.count() == 5)
     assert(r.edges.count() == 4)
@@ -46,12 +47,68 @@ class IngestPipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ingest_cache").toString
     val l = loader("CACHED", 1 to 7, normalized = true)
     val first = IngestPipeline.runSource(spark, l, dir)
-    assert(first.stages.map(_.stage) == Seq("parsing", "normalization"))
+    assert(first.stages.map(_.stage) == Seq("parsing", "normalization", "supplementation"))
     val second = IngestPipeline.runSource(spark, l, dir)
     assert(second.stages.map(_.stage) == Seq("cached"))
     assert(second.buildVersion == first.buildVersion)
     assert(second.nodes.count() == first.nodes.count())
     assert(second.edges.count() == first.edges.count())
+  }
+
+  test("supplementation: variant nodes → VCF → SnpEff seam → normalized union (D5)") {
+    import org.apache.spark.sql.functions._
+    // the stub derives its gene id deterministically from the normalized
+    // variant id — precompute it so the norm map can cover the gene
+    val stubGene = spark.range(1).select(
+      concat(lit("ENSEMBL:ENSG"),
+        lpad((abs(xxhash64(lit("CAID:V1"))) % 1000).cast("string"), 11, "0")))
+      .head().getString(0)
+
+    val l = new IngestPipeline.SourceLoader {
+      val sourceId = "GTEXLIKE"
+      override def hasSequenceVariants: Boolean = true
+      def parse(s: SparkSession): (DataFrame, DataFrame) = {
+        import s.implicits._
+        val nodes = s.read.json(Seq(
+          """{"id":"HGVS:v1","name":"variant one","category":["biolink:SequenceVariant"],"robokop_variant_id":"ROBO_VARIANT:HG38|chr1|1000|1001|A|G"}""",
+          """{"id":"RAWGENE:1","name":"gene one","category":["biolink:Gene"]}""").toDS())
+        val edges = s.read.json(Seq(
+          """{"subject":"HGVS:v1","predicate":"raw:affects","object":"RAWGENE:1","primary_knowledge_source":"infores:test"}""").toDS())
+        (nodes, edges)
+      }
+      override def nodeNormMap(s: SparkSession): Option[DataFrame] =
+        Some(Normalizer.nodeMapDf(s, Seq(
+          Normalizer.NodeNormEntry("HGVS:v1", "CAID:V1", "variant one",
+            category = Seq("biolink:SequenceVariant")),
+          Normalizer.NodeNormEntry("RAWGENE:1", "NCBIGene:1", "gene one",
+            category = Seq("biolink:Gene")),
+          // the supplemental gene the SnpEff stub will surface
+          Normalizer.NodeNormEntry(stubGene, stubGene, "stub gene",
+            category = Seq("biolink:Gene")))))
+      override def predicateNormMap(s: SparkSession): Option[DataFrame] =
+        Some(Normalizer.predicateMapDf(s, Seq(
+          Normalizer.PredicateNormEntry("raw:affects", "biolink:affects"),
+          Normalizer.PredicateNormEntry("biolink:is_non_coding_variant_of",
+            "biolink:is_non_coding_variant_of"))))
+    }
+    val dir = Files.createTempDirectory("ingest_supp").toString
+    val r = IngestPipeline.runSource(spark, l, dir)
+    assert(r.stages.map(_.stage) == Seq("parsing", "normalization", "supplementation"))
+    val suppDetail = r.stages.last.detail
+    assert(suppDetail.contains("supp_edges=1"), suppDetail)
+    // the supplemental variant→gene edge landed in the source graph,
+    // subject pre-normalized, object through the node map
+    val supp = r.edges.filter(col("primary_knowledge_source") === "infores:snpeff")
+    assert(supp.count() == 1)
+    val e = supp.head()
+    assert(e.getAs[String]("subject") == "CAID:V1")
+    assert(e.getAs[String]("object") == stubGene)
+    assert(e.getAs[String]("predicate") == "biolink:is_non_coding_variant_of")
+    assert(e.getAs[String]("snpeff_effect") == "intron_variant")
+    // the stub gene node was normalized in and unioned
+    assert(r.nodes.filter(col("id") === stubGene).count() == 1)
+    // the original normalized edge is still there
+    assert(r.edges.filter(col("predicate") === "biolink:affects").count() == 1)
   }
 
   test("buildGraph: two sources through spec → merged bundle") {
