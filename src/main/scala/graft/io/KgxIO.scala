@@ -35,12 +35,31 @@ object KgxIO {
 
   /** S1 — read one or more KGX jsonl(.gz) file sets with per-file schema
     * inference unioned by name (SURVEY §1.2 strategy (a)). Each path's file
-    * set is resolved and sorted first so downstream ordinals are
-    * reproducible under any FS listing order. */
+    * set is resolved and sorted, and every row carries a `_file_rank`
+    * column = its file's index in that sorted list. Passing sorted paths
+    * to the reader is NOT enough for ordering: Spark bin-packs scan splits
+    * by descending file size, so partition order (and thus
+    * monotonically_increasing_id) follows size, not the given order. The
+    * explicit rank is what MergeEngine.withOrdinal folds into merge
+    * ordinals so first-truthy-wins follows sorted file order — the
+    * reference's per-source file iteration order. */
   def readJsonl(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "no input files")
-    paths.map(p => spark.read.json(resolveSorted(spark, p): _*))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    paths.map { p =>
+      val files = resolveSorted(spark, p)
+      val rank = fileRankColumn(files)
+      spark.read.json(files: _*).withColumn("_file_rank", rank)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** input_file_name() → index in the sorted file list. URI spellings are
+    * normalized (file:/x vs file:///x) before the lookup. */
+  private def fileRankColumn(files: Seq[String]): org.apache.spark.sql.Column = {
+    def normalize(u: String): String = u.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val rankMap = typedLit(files.zipWithIndex.map { case (f, i) => normalize(f) -> i }.toMap)
+    coalesce(
+      element_at(rankMap, regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/")),
+      lit(0))
   }
 
   /** K1 — dedup-on-write counters: (distinct entities, repeats dropped). */

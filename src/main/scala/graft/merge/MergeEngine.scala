@@ -45,12 +45,21 @@ object MergeEngine {
     spark.sparkContext.collectionAccumulator[String]("merge_dropped_properties"))
 
   /** Attach a deterministic ordinal to a sequence of source DataFrames:
-    * source rank in the high bits (file order of the reference), row id in
-    * the low bits. monotonically_increasing_id is deterministic for a
-    * deterministic scan order, which parquet/jsonl file listings give us. */
+    * source rank in the top bits, then the `_file_rank` KgxIO.readJsonl
+    * attaches (sorted-file order — Spark's scan partitions follow file
+    * SIZE, so monotonically_increasing_id alone would fold files in size
+    * order), then the row counter within a scan partition. Gzipped jsonl
+    * is unsplittable (one partition per file), so within-file line order
+    * is fully preserved for the KGX bundle case. */
   def withOrdinal(dfs: Seq[DataFrame]): Seq[DataFrame] =
     dfs.zipWithIndex.map { case (df, i) =>
-      df.withColumn("_ordinal", lit(i.toLong << 40) + monotonically_increasing_id())
+      val fileRank =
+        if (df.columns.contains("_file_rank")) coalesce(col("_file_rank"), lit(0)).cast("long")
+        else lit(0L)
+      val rowInPartition = monotonically_increasing_id().bitwiseAND(lit(0xFFFFFFFFL))
+      df.withColumn("_ordinal",
+          lit(i.toLong << 48) + shiftleft(fileRank, 32) + rowInPartition)
+        .drop("_file_rank")
     }
 
   /** Merge entities grouped by `keyCol`, folding property bags in
@@ -69,7 +78,7 @@ object MergeEngine {
                  counters: Option[MergeCounters] = None): Dataset[MergedEntity] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val payloadCols = df.columns.filterNot(_ == "_ordinal")
+    val payloadCols = df.columns.filterNot(c => c == "_ordinal" || c == "_file_rank")
     val ordinal = if (df.columns.contains("_ordinal")) col("_ordinal") else lit(0L)
     val keyed = df.select(
         keyCol.cast("string").as("key"),
@@ -107,7 +116,8 @@ object MergeEngine {
     schema match {
       case Some(s) =>
         val clean = org.apache.spark.sql.types.StructType(
-          s.fields.filterNot(_.name == "_ordinal").map(_.copy(nullable = true)))
+          s.fields.filterNot(f => f.name == "_ordinal" || f.name == "_file_rank")
+            .map(_.copy(nullable = true)))
         merged.select(from_json(col("json"), clean).as("e")).select(col("e.*"))
       case None => spark.read.json(merged.map(_.json))
     }

@@ -160,4 +160,32 @@ class MergeEngineSpec extends SparkSpec {
     val kept = GraphMerger.removeUnconnectedNodes(nodes, edges)
     assert(kept.select("id").as[String].collect().toSet == Set("NODE:1", "NODE:2"))
   }
+
+  test("shuffled input-file creation order yields identical merge digests") {
+    import spark.implicits._
+    // first-truthy-wins folds in ordinal order, and ordinals derive from
+    // scan order — KgxIO.resolveSorted must pin that to sorted path order
+    // regardless of the order the FS returns (or the files were created in)
+    val f1 = """{"id":"NODE:1","name":"first-wins","synonyms":["a"]}"""
+    val f2 = """{"id":"NODE:1","name":"second","synonyms":["b"]}""" + "\n" +
+      """{"id":"NODE:2","name":"only-in-second"}"""
+    def mkDir(order: Seq[(String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("shuffled").toString
+      order.foreach { case (name, content) =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), content)
+      }
+      dir
+    }
+    def digest(dir: String): Seq[String] = {
+      val df = graft.io.KgxIO.readJsonl(spark, Seq(dir))
+      val withOrd = MergeEngine.withOrdinal(Seq(df)).head
+      MergeEngine.mergeNodes(withOrd).collect()
+        .map(m => s"${m.key}|${m.json}|${m.nMerged}").sorted.toSeq
+    }
+    val a = digest(mkDir(Seq("00-first.jsonl" -> f1, "01-second.jsonl" -> f2)))
+    val b = digest(mkDir(Seq("01-second.jsonl" -> f2, "00-first.jsonl" -> f1)))
+    assert(a == b)
+    assert(a.exists(_.contains("\"first-wins\"")), a.mkString("\n"))
+    assert(!a.exists(_.contains("\"name\":\"second\"")))
+  }
 }

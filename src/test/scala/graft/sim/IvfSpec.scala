@@ -37,6 +37,29 @@ class IvfSpec extends SparkSpec {
     assert(agree >= 8, s"only $agree/10 clusters cohesive")
   }
 
+  test("blind-sample fast path trains equivalently (no sizing count)") {
+    // sampleFraction tuned up so the blind sample fills the cap on this
+    // 200-row corpus, forcing the scale path (Ivf.train's first branch) that
+    // every big-corpus run takes but the default-parameter specs never hit
+    val blind = Ivf.train(clustered, nlist = 10, sampleCap = 100, sampleFraction = 0.9)
+    assert(blind.nlist == 10)
+    assert(blind.centroids.forall(_.length == 16))
+    // the blind-path index still clusters the planted data coherently
+    val cells = clustered.select(col("vec_id"),
+        Ivf.assignCell(col("embedding"), blind).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the bar is the code path, not k-means init luck: with only half the
+    // tiny corpus sampled, random init can merge a few planted clusters
+    val agree = (0 until 10).count { c =>
+      val members = (c * 20 until c * 20 + 20).map(i => cells(i.toLong))
+      members.groupBy(identity).values.map(_.size).max >= 15
+    }
+    assert(agree >= 5, s"only $agree/10 clusters cohesive via blind path")
+    // determinism holds on the fast path too
+    val again = Ivf.train(clustered, nlist = 10, sampleCap = 100, sampleFraction = 0.9)
+    assert(blind.centroids.map(_.toSeq) == again.centroids.map(_.toSeq))
+  }
+
   test("IVF top-1 recall vs brute force on clustered data") {
     val index = Ivf.train(clustered, nlist = 10)
     val queries = clustered.filter(col("vec_id") % 20 === 0)
