@@ -80,6 +80,28 @@ object Dedup {
     out
   }
 
+  /** Exact-verify a candidate pair set: recompute the n-gram Jaccard of
+    * each (id_a, id_b) from the documents' distinct shingle hash sets.
+    * This is the verify half of the LSH stack — candidates are cheap and
+    * hash-seed-dependent, the verified output is exact and
+    * oracle-comparable. Joins stay narrow: only candidate ids shuffle,
+    * shingle arrays attach per side. */
+  def verifyJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, shingleN: Int): DataFrame = {
+    val docs = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.distinctShingleHashes(
+          TextOps.tokens(col(textCol)), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs via a shingle inverted index:
     * explode distinct shingles, self-join on the shingle, count
     * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). Hot shingles with
