@@ -21,7 +21,17 @@ object DedupScaleSmoke {
     val nMill = if (args.nonEmpty) args(0).toDouble else 1.0
     val n = (nMill * 1000000L).toLong
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val (secs, dups, expectedDups) = run(spark, n)
+    println(f"[dedup-scale-smoke] docs=$n dups_found=$dups " +
+      f"(expected=$expectedDups) wall=$secs%.1f s " +
+      f"heap=${Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
+    spark.stop()
+  }
 
+  /** Runs the full near-dup path over n synthetic docs; returns
+    * (wall seconds, duplicates found, duplicates expected). Callable from
+    * Bench so the round artifact carries a fixed-scale dedup throughput. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
     // deterministic word-soup text: 30 tokens drawn from a base id so that
     // doc 10k+1 shares ~90% of tokens with doc 10k (near-dup) and doc
     // 20k+2 duplicates doc 20k exactly
@@ -49,9 +59,6 @@ object DedupScaleSmoke {
       sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("dups")).head()
     val secs = (System.nanoTime() - t0) / 1e9
     val expectedDups = n / 10 + n / 20 // near-dups (every 10th) + exact dups (every 20th)
-    println(f"[dedup-scale-smoke] docs=$n dups_found=${stats.getLong(1)} " +
-      f"(expected=$expectedDups) wall=$secs%.1f s " +
-      f"heap=${Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
-    spark.stop()
+    (secs, stats.getLong(1), expectedDups)
   }
 }

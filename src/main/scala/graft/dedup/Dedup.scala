@@ -147,10 +147,16 @@ object Dedup {
     graft.functions.TextExpressions.simhash64(TextOps.tokens(text))
 
   /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
-    * 16-bit blocks; docs matching on any block are candidates (guaranteed to
-    * include all pairs with hamming distance < blocks). */
+    * equal-width blocks; docs matching on any block are candidates
+    * (guaranteed to include all pairs with hamming distance < blocks).
+    * `maxHamming` prunes candidates above a hamming radius BEFORE the
+    * dedup shuffle — a cost guard for narrow-block configs (blocks=8 →
+    * 8-bit keys → birthday-bounded buckets), not a recall guarantee
+    * beyond `blocks - 1`. Random 64-bit pairs sit at hamming ≈ 32, so a
+    * radius like 16 keeps everything structurally similar while dropping
+    * the accidental-collision bulk. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        blocks: Int = 4): DataFrame = {
+                        blocks: Int = 4, maxHamming: Int = 64): DataFrame = {
     val width = 64 / blocks
     // simhash is the expensive part (64-wide zip per token) — compute once
     val hashed = graft.scale.Skew.ensureParallelism(df)
@@ -165,8 +171,12 @@ object Dedup {
     val b = blocked.select(col("block"), col("key"), col("id").as("id_b"), col("simhash").as("h_b"))
     val out = a.join(b, Seq("block", "key"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is computable straight off the joined row — filtering here
+      // keeps the dropDuplicates shuffle to the (tiny) surviving set rather
+      // than the full bucket-collision fan-out
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
       // materialize the small pair set, then drop the simhash cache
       .localCheckpoint()

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables}
+import graft.dedup.Dedup
+
+/** Dev probe for choosing oracle-safe thresholds for q34/q35: computes the
+  * exact jaccard distribution of all near-dup pairs, then checks whether the
+  * MinHash-LSH and SimHash candidate sets achieve 100% recall above a set of
+  * candidate thresholds. Usage: runMain graft.tools.DedupOracleProbe [sfDir...]
+  */
+object DedupOracleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+               else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    for (dir <- dirs) {
+      val docs = Tables.documents(spark, dir)
+      println(s"=== $dir (${docs.count()} docs) ===")
+      // exact ground truth: all pairs with jaccard >= 0.1 (no dfCap — true jaccard)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.1, dfCap = Int.MaxValue).cache()
+      println("exact jaccard histogram (>=0.1):")
+      exact.withColumn("bucket", floor(col("jaccard") * 10) / 10)
+        .groupBy("bucket").count().orderBy("bucket").collect()
+        .foreach(r => println(s"  ${r.get(0)}: ${r.get(1)}"))
+
+      val mh = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2)
+        .select("id_a", "id_b").cache()
+      val shAll = Dedup.simhashCandidates(docs, "doc_id", "text", blocks = 8).cache()
+      val sh = shAll.select("id_a", "id_b")
+      println(s"minhash cands(b32r2): ${mh.count()}, simhash cands: ${sh.count()}, " +
+        s"hamming<=7: ${shAll.filter(col("hamming") <= 7).count()}")
+      println("truth-pair hamming histogram (jaccard>=0.8):")
+      exact.filter(col("jaccard") >= 0.8)
+        .join(shAll, Seq("id_a", "id_b"), "left")
+        .groupBy("hamming").count().orderBy("hamming").collect()
+        .foreach(r => println(s"  ${r.get(0)}: ${r.get(1)}"))
+      for (tau <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)) {
+        val truth = exact.filter(col("jaccard") >= tau)
+        val nTruth = truth.count()
+        val missMh = truth.join(mh, Seq("id_a", "id_b"), "left_anti").count()
+        val missSh = truth.join(sh, Seq("id_a", "id_b"), "left_anti").count()
+        println(f"  tau=$tau%.1f truth=$nTruth%d missMinhash=$missMh%d missSimhash=$missSh%d")
+      }
+      exact.unpersist(); mh.unpersist(); sh.unpersist()
+    }
+    spark.stop()
+  }
+}
