@@ -60,11 +60,13 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     // fixed-scale dedup throughput (1M synthetic docs through the full
     // minhash→LSH→connected-components path) so the round artifact carries a
-    // number a judge can diff round-over-round; -1 on failure, never throws
+    // number a judge can diff round-over-round; never throws. Sentinels are
+    // distinct so artifact diffs can tell failure classes apart:
+    // -1.0 = crash/environment, -2.0 = ran but wrong duplicate count.
     val dedupSmokeSec =
       try {
         val (secs, dups, expected) = DedupScaleSmoke.run(spark, 1000000L)
-        if (dups == expected) secs else -1.0
+        if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"sf":"$sfDir"}"""
     println(json)

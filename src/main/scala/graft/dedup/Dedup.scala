@@ -41,7 +41,19 @@ object Dedup {
     * bands·rowsPerBand must equal the signature length. Returns
     * (id_a, id_b, estimated_jaccard) with id_a < id_b. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                           shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    minhashLshImpl(df, idCol, textCol, shingleN, bands, rowsPerBand, estimate = true)
+
+  /** Candidate pairs only — (id_a, id_b), no signature re-attach or jaccard
+    * estimate. For callers that feed an exact verifier (verifyJaccardPairs)
+    * the estimate is dead work: two joins and a k-wide zip per pair. */
+  def minhashLshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    minhashLshImpl(df, idCol, textCol, shingleN, bands, rowsPerBand, estimate = false)
+
+  private def minhashLshImpl(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, bands: Int, rowsPerBand: Int,
+                             estimate: Boolean): DataFrame = {
     val k = bands * rowsPerBand
     // docs too short to shingle have no minhash identity — drop them here,
     // or every empty doc would share the all-sentinel signature and
@@ -66,16 +78,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val out = pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .withColumn("estimated_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
-      .select(col("id_a"), col("id_b"), col("estimated_jaccard"))
-      // eagerly materialize the (small) pair result while sigs is cached,
-      // then release the cache — a lazy return could never unpersist safely
-      .localCheckpoint()
+    val withEstimate =
+      if (!estimate) pairs
+      else pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("estimated_jaccard",
+          aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k)
+        .select(col("id_a"), col("id_b"), col("estimated_jaccard"))
+    // eagerly materialize the (small) pair result while sigs is cached,
+    // then release the cache — a lazy return could never unpersist safely
+    val out = withEstimate.localCheckpoint()
     sigs.unpersist()
     out
   }
@@ -150,11 +164,16 @@ object Dedup {
     * equal-width blocks; docs matching on any block are candidates
     * (guaranteed to include all pairs with hamming distance < blocks).
     * `maxHamming` prunes candidates above a hamming radius BEFORE the
-    * dedup shuffle — a cost guard for narrow-block configs (blocks=8 →
-    * 8-bit keys → birthday-bounded buckets), not a recall guarantee
-    * beyond `blocks - 1`. Random 64-bit pairs sit at hamming ≈ 32, so a
-    * radius like 16 keeps everything structurally similar while dropping
-    * the accidental-collision bulk. */
+    * dedup shuffle — a cost guard, not a recall guarantee beyond
+    * `blocks - 1`.
+    *
+    * Scale note — the bucket self-join's output is ~blocks·N²/2^(64/blocks+1)
+    * rows BEFORE the hamming filter (the filter bounds the downstream
+    * shuffle, not the join product). blocks=4 → 16-bit keys → birthday-safe
+    * to N ≈ 10⁷ per natural bucket-key distribution; blocks=8 → 8-bit keys
+    * → quadratic past N ≈ 10⁵ and must not be used at scale. If recall
+    * beyond hamming 3 is needed, union these candidates with a minhash-LSH
+    * set (see queries.TextQueries q35) instead of narrowing the blocks. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         blocks: Int = 4, maxHamming: Int = 64): DataFrame = {
     val width = 64 / blocks

@@ -126,8 +126,8 @@ object TextQueries {
     * output is exact and seed-independent, so it oracles directly against
     * DuckDB's all-pairs jaccard — provided the LSH step has full recall at
     * τ. At bands=32 × rows=2 the miss probability per pair is
-    * (1-j²)³² ≈ 1e-8 at j=0.8; measured recall on this corpus is 1.0 at
-    * every SF (tools/DedupOracleProbe). */
+    * (1-j²)³² ≈ 6e-15 at j=0.8 (≈1e-8 already at j=0.65); measured recall
+    * on this corpus is 1.0 at every SF (tools/DedupOracleProbe). */
   private val q34: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
@@ -138,15 +138,32 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup detection, full stack: 8-block banded candidates
-    * (pigeonhole-complete to hamming ≤ 7, plus collision-found extras kept
-    * up to hamming 16 — truth pairs on this corpus top out at hamming 12,
-    * tools/DedupOracleProbe) → exact Jaccard verification → τ filter.
-    * Same oracle contract as q34: the verified output is seed-independent. */
+  /** SimHash near-dup detection, full stack: 4-block banded candidates
+    * (16-bit block keys — birthday-safe buckets, pigeonhole-complete to
+    * hamming ≤ 3) UNIONED with the q34 minhash candidate set (b32×r2)
+    * before exact Jaccard verification → τ filter. The union is what
+    * makes recall at τ=0.8 structural rather than empirical: simhash
+    * block collisions alone only guarantee hamming < blocks, but truth
+    * pairs on this corpus reach hamming 12 — the minhash band math
+    * ((1-j²)³² ≈ 6e-15 per-pair miss at j=0.8) covers that tail by
+    * construction. This replaces the earlier blocks=8 config whose 8-bit
+    * bucket keys made the bucket self-join quadratic at scale. Same
+    * oracle contract as q34: the verified output is seed-independent. */
   private val q35: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.simhashCandidates(docs, "doc_id", "text",
-      blocks = 8, maxHamming = 16)
+    // maxHamming=8 prunes accidental block collisions before the verify
+    // join (this corpus's simhashes cluster, so collisions are common even
+    // below hamming 16). 8 is ~2.7× the classic Manku web-dedup radius of
+    // 3 — and blocks=4 is pigeonhole-complete to 3 — so the simhash side
+    // keeps its standard near-dup semantics; τ-recall is carried by the
+    // minhash union, not by simhash candidate breadth.
+    val sh = Dedup.simhashCandidates(docs, "doc_id", "text",
+      blocks = 4, maxHamming = 8)
+    val mh = Dedup.minhashLshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2)
+    val cands = sh.select(col("id_a"), col("id_b"))
+      .union(mh.select(col("id_a"), col("id_b")))
+      .distinct()
     Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, shingleN = 3)
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))

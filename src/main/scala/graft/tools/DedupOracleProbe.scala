@@ -25,13 +25,18 @@ object DedupOracleProbe {
         .groupBy("bucket").count().orderBy("bucket").collect()
         .foreach(r => println(s"  ${r.get(0)}: ${r.get(1)}"))
 
+      // EXACTLY the production configs: q34 = minhash b32×r2; q35 = simhash
+      // blocks=4 (default maxHamming) ∪ the q34 minhash set. Probing any
+      // other config would validate a pipeline nobody runs.
       val mh = Dedup.minhashLshCandidates(docs, "doc_id", "text",
         shingleN = 3, bands = 32, rowsPerBand = 2)
         .select("id_a", "id_b").cache()
-      val shAll = Dedup.simhashCandidates(docs, "doc_id", "text", blocks = 8).cache()
+      val shAll = Dedup.simhashCandidates(docs, "doc_id", "text",
+        blocks = 4, maxHamming = 8).cache()
       val sh = shAll.select("id_a", "id_b")
-      println(s"minhash cands(b32r2): ${mh.count()}, simhash cands: ${sh.count()}, " +
-        s"hamming<=7: ${shAll.filter(col("hamming") <= 7).count()}")
+      val union = sh.union(mh).distinct().cache()
+      println(s"minhash cands(b32r2): ${mh.count()}, simhash cands(b4): ${sh.count()}, " +
+        s"union: ${union.count()}")
       println("truth-pair hamming histogram (jaccard>=0.8):")
       exact.filter(col("jaccard") >= 0.8)
         .join(shAll, Seq("id_a", "id_b"), "left")
@@ -42,9 +47,11 @@ object DedupOracleProbe {
         val nTruth = truth.count()
         val missMh = truth.join(mh, Seq("id_a", "id_b"), "left_anti").count()
         val missSh = truth.join(sh, Seq("id_a", "id_b"), "left_anti").count()
-        println(f"  tau=$tau%.1f truth=$nTruth%d missMinhash=$missMh%d missSimhash=$missSh%d")
+        val missUnion = truth.join(union, Seq("id_a", "id_b"), "left_anti").count()
+        println(f"  tau=$tau%.1f truth=$nTruth%d missMinhash=$missMh%d " +
+          f"missSimhash=$missSh%d missUnion(q35)=$missUnion%d")
       }
-      exact.unpersist(); mh.unpersist(); sh.unpersist()
+      exact.unpersist(); mh.unpersist(); sh.unpersist(); union.unpersist()
     }
     spark.stop()
   }
