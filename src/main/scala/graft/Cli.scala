@@ -69,7 +69,7 @@ object Cli {
       KgxIO.writeJsonl(g.nodes, s"$out/source_nodes.jsonl", dedupKeys = Seq("id"))
       KgxIO.writeJsonl(g.edges, s"$out/source_edges.jsonl", dedupKeys = Nil)
     case "sources" =>
-      println(graft.parsers.Registry.parsers.keys.toSeq.sorted.mkString("\n"))
+      println(graft.parsers.Registry.all.keys.toSeq.sorted.mkString("\n"))
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }

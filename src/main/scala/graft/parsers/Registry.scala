@@ -134,9 +134,33 @@ object Registry {
     // both LitCoin variants parse identically — they differ only in which
     // bagel backend filled the grounding cache (loadLitCoin.py:502-508)
     "LitCoin" -> ((s, dir) => LitCoin.parse(s, dir)),
-    "LitCoinBagelService" -> ((s, dir) => LitCoin.parse(s, dir)))
+    "LitCoinBagelService" -> ((s, dir) => LitCoin.parse(s, dir)),
+    // Reactome's neo4j dump is consumed as a flat graph export (node +
+    // relationship jsonl) materialized at fetch time behind the Neo4jTools
+    // seam — the graph database itself is a single-node external tool
+    "Reactome" -> ((s, dir) =>
+      Reactome.parse(s, s"$dir/reactome_graph_nodes.jsonl", s"$dir/reactome_graph_rels.jsonl")))
+
+  /** Reference source ids that name the same loaders differently
+    * (orion/data_sources.py:20-56): the reference's single 'GTEx' id loads
+    * both QTL tars in one pass (loadGTEx.py:90-92,140-147); the other three
+    * are pure renames. Registered alongside the primary ids so a reference
+    * graph spec resolves verbatim. */
+  private val referenceAliases: Map[String, Parser] = Map(
+    "GTEx" -> ((s, dir) => {
+      val eqtl = Gtex.parse(s, s"$dir/eqtl.tar", isSqtl = false)
+      val sqtl = Gtex.parse(s, s"$dir/sqtl.tar", isSqtl = true)
+      graft.extract.Extractor.ExtractedGraph(
+        eqtl.nodes.unionByName(sqtl.nodes).dropDuplicates("id"),
+        eqtl.edges.unionByName(sqtl.edges, allowMissingColumns = true))
+    }),
+    "EHRMayTreat" -> parsers("EHRMayTreatKP"),
+    "MONDOProps" -> parsers("MONDOProperties"),
+    "textminingkp" -> parsers("text-mining-provider-targeted"))
+
+  val all: Map[String, Parser] = parsers ++ referenceAliases
 
   def apply(sourceId: String): Parser =
-    parsers.getOrElse(sourceId, throw new IllegalArgumentException(
-      s"unknown source id: $sourceId (registered: ${parsers.keys.toSeq.sorted.mkString(", ")})"))
+    all.getOrElse(sourceId, throw new IllegalArgumentException(
+      s"unknown source id: $sourceId (registered: ${all.keys.toSeq.sorted.mkString(", ")})"))
 }
