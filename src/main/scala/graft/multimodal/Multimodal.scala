@@ -27,18 +27,22 @@ object Multimodal {
   /** STUB decode: a real implementation would parse the codec container.
     * Here: deterministic pseudo-features from the payload bytes so the
     * pipeline (partition-wise batch iteration, fixed-length feature output)
-    * is fully exercisable. Feature f(i) = byte-histogram moment i. */
+    * is fully exercisable. Feature f(i) = (Σ bytes at positions ≡ i mod
+    * dim) / 255 / len · dim — integer byte accumulation with a SINGLE
+    * float rounding per feature, which keeps the fake exactly
+    * SQL-expressible so q39's derived stats can be oracled in DuckDB. */
   def decodeStub(payload: Array[Byte], featureDim: Int): Array[Float] = {
     // ??? <- real codec goes here; deterministic fake below
     val out = new Array[Float](featureDim)
     if (payload != null && payload.nonEmpty) {
+      val sums = new Array[Long](featureDim)
       var i = 0
-      while (i < payload.length) {
-        out(i % featureDim) += (payload(i) & 0xff) / 255.0f
-        i += 1
-      }
+      while (i < payload.length) { sums(i % featureDim) += payload(i) & 0xff; i += 1 }
       var j = 0
-      while (j < featureDim) { out(j) = out(j) / payload.length * featureDim; j += 1 }
+      while (j < featureDim) {
+        out(j) = (sums(j).toDouble / 255.0 / payload.length * featureDim).toFloat
+        j += 1
+      }
     }
     out
   }

@@ -37,12 +37,16 @@ object RobokopBuild {
     override def nodeNormMapDefined: Boolean = false
   }
 
-  def run(spark: SparkSession, fixturesDir: String, outDir: String): BuildCounts = {
+  /** `sourceOrder` defaults to the canonical list; the determinism spec
+    * passes a shuffled permutation and asserts the merged bundle digests
+    * are identical — source order must never leak into the output. */
+  def run(spark: SparkSession, fixturesDir: String, outDir: String,
+          sourceOrder: Seq[(String, String)] = sources): BuildCounts = {
     val spec = GraphSpec(
       graphId = "RobokopStyle",
       graphName = "robokop-style fixture build",
-      sources = sources.map { case (id, _) => GraphSource(id) })
-    val loaders: Map[String, IngestPipeline.SourceLoader] = sources.map {
+      sources = sourceOrder.map { case (id, _) => GraphSource(id) })
+    val loaders: Map[String, IngestPipeline.SourceLoader] = sourceOrder.map {
       case (id, sub) => id -> (new FixtureLoader(id, s"$fixturesDir/$sub"): IngestPipeline.SourceLoader)
     }.toMap
 

@@ -50,10 +50,10 @@ object TextQueries {
 
   private val q31Sql = {
     val stop = TextOps.englishStopwords.mkString("|")
-    s"""SELECT doc_id, round(
+    s"""SELECT doc_id, floor((
          0.4 * least(ntok / 50.0, 1.0)
          + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
-         + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0), 4) AS quality
+         + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)) * 10000 + 0.5) / 10000 AS quality
        FROM (
          SELECT doc_id, text,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -255,9 +255,11 @@ object TextQueries {
        ORDER BY id_a, id_b"""
 
   /** Multimodal plumbing: documents as stand-in binary payloads →
-    * partition-wise stub feature extraction — rows-only (hash-free but the
-    * feature math has no 1-line SQL twin; shape checked here, values in
-    * MultimodalSpec). */
+    * partition-wise stub feature extraction. The stub's integer byte
+    * accumulation (Multimodal.decodeStub) makes the derived stats exactly
+    * SQL-expressible: feature_sum = Σᵢ float32(byteSumᵢ/255/len·dim), whose
+    * double twin (Σ bytes)/255/len·dim differs by < 1e-5 — invisible at
+    * round(4). The DuckDB side reads payload bytes through hex(). */
   private val q39: Q = (s, dir) => {
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.extractFeatures(media, featureDim = 8)
@@ -265,6 +267,19 @@ object TextQueries {
         round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feature_sum"))
       .orderBy(col("media_id"))
   }
+
+  private val q39Sql =
+    """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+       h AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n FROM m),
+       f AS (SELECT media_id, n,
+               CASE WHEN n > 0 THEN list_sum(list_transform(range(1, n + 1), i ->
+                 strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
+                 + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 17))
+               ELSE 0 END AS byte_sum
+             FROM h)
+       SELECT media_id, 'image' AS kind, CAST(n AS INT) AS n_bytes,
+              round(CASE WHEN n > 0 THEN byte_sum / 255.0 / n * 8 ELSE 0.0 END, 4) AS feature_sum
+       FROM f ORDER BY media_id"""
 
   /** IVF ANN judged in-Spark against the exact result, same shape as q37
     * (measured 0.90 / 0.87 at nprobe=5 on this corpus). */
@@ -341,9 +356,9 @@ object TextQueries {
       hits(TextOps.germanStopwords), hits(TextOps.frenchStopwords))
     s"""WITH scored AS (
          SELECT doc_id, text,
-           round(0.4 * least(ntok / 50.0, 1.0)
-                 + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
-                 + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0), 4) AS quality,
+           floor((0.4 * least(ntok / 50.0, 1.0)
+                  + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
+                  + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)) * 10000 + 0.5) / 10000 AS quality,
            CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
                 WHEN en = greatest(en, es, de, fr) THEN 'en'
                 WHEN es = greatest(en, es, de, fr) THEN 'es'
@@ -393,6 +408,7 @@ object TextQueries {
     "q36_cosine_topk"        -> q36Sql,
     "q37_ann_lsh"            -> q37Sql,
     "q38_embedding_neardup"  -> q38Sql,
+    "q39_multimodal_stub"    -> q39Sql,
     "q40_ivf_ann"            -> q37Sql, // same pass/fail contract as q37
     "q42_curation_pipeline"  -> q42Sql,
   )

@@ -26,4 +26,24 @@ class RobokopBuildSpec extends SparkSpec {
       assert(Files.isDirectory(Paths.get(out, "sources", id)), id)
     }
   }
+
+  test("shuffled source order yields identical merged-bundle digests") {
+    // the MergeEngineSpec ordinal gate lifted to the composed pipeline:
+    // first-truthy-wins merge order must derive from the spec's stable
+    // source ordinals, never from submission or scan order
+    def buildDigest(order: Seq[(String, String)]): (String, String) = {
+      val out = Files.createTempDirectory("robokop-det-").toString
+      RobokopBuild.run(spark, "src/test/resources/parsers", out, order)
+      def digest(file: String): String = {
+        val lines = spark.read.textFile(s"$out/$file").collect().sorted
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString
+      }
+      (digest("nodes.jsonl"), digest("edges.jsonl"))
+    }
+    val shuffled = new scala.util.Random(7).shuffle(RobokopBuild.sources)
+    assert(shuffled != RobokopBuild.sources, "pick a seed that permutes")
+    assert(buildDigest(RobokopBuild.sources) === buildDigest(shuffled))
+  }
 }
