@@ -154,6 +154,42 @@ object Dedup {
     out
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    * rightmost-min of each w-window over the rolling shingle-hash stream —
+    * the classic rolling-hash fingerprint. One codegen pass per row
+    * (graft.functions.WinnowingFingerprints). */
+  def winnowingFingerprints(text: Column, shingleN: Int = 5, window: Int = 4): Column =
+    graft.functions.TextExpressions.winnowingFingerprints(TextOps.tokens(text), shingleN, window)
+
+  /** Candidate near-dup pairs via a winnowing-fingerprint inverted index:
+    * docs sharing any selected fingerprint are candidates. Winnowing
+    * guarantees any shared run of ≥ shingleN+window-1 tokens yields a
+    * shared fingerprint, and selects only ~2/(window+1) of the shingles —
+    * the index (and its self-join) is that much smaller than q33's full
+    * shingle index. Hot fingerprints above dfCap are dropped before the
+    * join (same skew guard as ngramJaccardPairs). */
+  def winnowingCandidates(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 5, window: Int = 4,
+                          dfCap: Int = 100): DataFrame = {
+    val docs = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        winnowingFingerprints(col(textCol), shingleN, window).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val inverted = docs.select(col("id"), explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = inverted.groupBy("fp").count().filter(col("count") > dfCap).select("fp")
+    val cold = inverted.join(hot, Seq("fp"), "left_anti")
+    val a = cold.select(col("fp"), col("id").as("id_a"))
+    val b = cold.select(col("fp"), col("id").as("id_b"))
+    val out = a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .localCheckpoint()
+    inverted.unpersist()
+    out
+  }
+
   /** 64-bit SimHash: sum ±1 per bit over token hashes, sign → bit — one
     * codegen loop (graft.functions.SimHash64) instead of a 64-wide
     * interpreted zip per token. */

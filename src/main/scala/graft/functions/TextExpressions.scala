@@ -174,6 +174,67 @@ object SimHash64 {
   }
 }
 
+/** winnowing_fingerprints(tokens, n, w): the document-fingerprint set of
+  * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting" (SIGMOD 2003): hash every n-token shingle (the rolling
+  * k-gram stream), slide a window of w consecutive hashes, keep the
+  * RIGHTMOST minimum per window, emit the distinct kept hashes sorted.
+  * Guarantee: every w consecutive shingles contribute ≥1 fingerprint, so
+  * any match of length ≥ n+w-1 tokens between two documents shares ≥1
+  * fingerprint. Sliding-window minimum via monotonic deque — O(m) per row,
+  * one codegen call. */
+case class WinnowingFingerprints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = TextSketch.tokenHashes(input.asInstanceOf[ArrayData])
+    new GenericArrayData(WinnowingFingerprints.winnow(TextSketch.shingleHashes(th, n), w))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fp = ctx.freshName("fp")
+      s"""
+         |long[] $fp = graft.functions.WinnowingFingerprints.winnow(
+         |    graft.functions.TextSketch.shingleHashes(
+         |        graft.functions.TextSketch.tokenHashes($c), $n), $w);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($fp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowingFingerprints {
+  /** Rightmost-min-per-window over the shingle-hash stream, distinct +
+    * sorted. Windows shorter than w (short docs) collapse to one window so
+    * a shingled doc always yields ≥1 fingerprint. */
+  def winnow(sh: Array[Long], w: Int): Array[Long] = {
+    if (sh.length == 0) return Array.emptyLongArray
+    if (sh.length <= w) {
+      var min = sh(0); var i = 1
+      while (i < sh.length) { if (sh(i) <= min) min = sh(i); i += 1 }
+      return Array(min)
+    }
+    val kept = new Array[Long](sh.length - w + 1)
+    var nKept = 0
+    // monotonic deque of indices; head = index of current window minimum.
+    // Ties keep the RIGHTMOST index (<= pop), per robust winnowing.
+    val deque = new Array[Int](sh.length)
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < sh.length) {
+      while (tail > head && sh(deque(tail - 1)) >= sh(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) { kept(nKept) = sh(deque(head)); nKept += 1 }
+      i += 1
+    }
+    TextSketch.distinct(java.util.Arrays.copyOf(kept, nKept))
+  }
+}
+
 object TextExpressions {
   def distinctShingleHashes(tokens: Column, n: Int): Column =
     CatalystBridge.column(DistinctShingleHashes(CatalystBridge.expression(tokens), n))
@@ -181,4 +242,6 @@ object TextExpressions {
     CatalystBridge.column(MinHashSignature(CatalystBridge.expression(tokens), n, k))
   def simhash64(tokens: Column): Column =
     CatalystBridge.column(SimHash64(CatalystBridge.expression(tokens)))
+  def winnowingFingerprints(tokens: Column, n: Int, w: Int): Column =
+    CatalystBridge.column(WinnowingFingerprints(CatalystBridge.expression(tokens), n, w))
 }

@@ -137,7 +137,16 @@ object MergeEngine {
     * groups that actually merged (ref orion/merging.py:280-295).
     * Groups on the raw xxh64 long (8-byte shuffle key, no per-row hex
     * formatting); the hex digest is rendered and the surviving id lists
-    * sorted only after the n>1 filter discards the singleton majority. */
+    * sorted only after the n>1 filter discards the singleton majority.
+    *
+    * Plan shape (verified via ExplainQuery on q15): exactly ONE Exchange —
+    * partial ObjectHashAggregate (map-side collect_list+count combine) →
+    * shuffle on the long hash → final aggregate. A "shared-shuffle"
+    * variant folding this into mergeByKey's groupBy would save nothing
+    * standalone and would force the merge path to carry id lists it
+    * doesn't need; the composed pipeline calls them on different inputs
+    * (merge on all columns' json, mapping on ids only), so the current
+    * shape is the right one. */
   def edgeIdMapping(edges: DataFrame, customAttributes: Seq[String] = Nil): DataFrame = {
     edges
       .withColumn("_merge_hash", MergeKeys.xxh64Raw(MergeKeys.edgeKeyInput(edges, customAttributes)))

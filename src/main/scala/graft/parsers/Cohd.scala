@@ -18,6 +18,9 @@ object Cohd {
   def parse(spark: SparkSession, dir: String): ExtractedGraph = {
     val nodes = spark.read.json(s"$dir/cohd_nodes.jsonl")
     val edges0 = spark.read.json(s"$dir/cohd_edges.jsonl")
+    // distinct resource roles: bounded by the biolink retrieval-source
+    // vocabulary (single digits) — small, closed on the driver like the
+    // reference's per-role column fan-out
     val roles = edges0.select(explode(col("sources")).as("s"))
       .select(col("s.resource_role")).distinct().collect().map(_.getString(0))
     val flattened = roles.foldLeft(edges0) { (df, role) =>

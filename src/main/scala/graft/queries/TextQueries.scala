@@ -281,6 +281,30 @@ object TextQueries {
               round(CASE WHEN n > 0 THEN byte_sum / 255.0 / n * 8 ELSE 0.0 END, 4) AS feature_sum
        FROM f ORDER BY media_id"""
 
+  /** Winnowing-fingerprint near-dup detection (rolling-hash document
+    * fingerprinting, Schleimer et al. SIGMOD 2003), full stack: fingerprint
+    * inverted-index candidates UNIONED with the q34 minhash set → exact
+    * Jaccard verification → τ filter. Winnowing alone guarantees a shared
+    * fingerprint only for contiguous runs ≥ n+w-1 tokens; the minhash
+    * union makes τ=0.8 recall structural (same construction as q35), so
+    * the output equals the exact all-pairs truth and oracles against
+    * q34Sql. */
+  private val q46: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // candidate fingerprints use 5-token shingles (rarer → far fewer
+    // accidental bucket pairs than the 3-gram verify truth); recall at
+    // τ=0.8 still comes structurally from the minhash union
+    val wn = Dedup.winnowingCandidates(docs, "doc_id", "text",
+      shingleN = 5, window = 4, dfCap = 100)
+    val mh = Dedup.minhashLshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 2)
+    val cands = wn.union(mh).distinct()
+    Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, shingleN = 3)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** IVF ANN judged in-Spark against the exact result, same shape as q37
     * (measured 0.90 / 0.87 at nprobe=5 on this corpus). */
   private val q40: Q = (s, dir) => {
@@ -395,6 +419,7 @@ object TextQueries {
     "q37_ann_lsh"            -> q37,
     "q38_embedding_neardup"  -> q38,
     "q39_multimodal_stub"    -> q39,
+    "q46_winnowing_dedup"    -> q46,
   )
 
   val oracles: Map[String, String] = Map(
@@ -410,6 +435,7 @@ object TextQueries {
     "q38_embedding_neardup"  -> q38Sql,
     "q39_multimodal_stub"    -> q39Sql,
     "q40_ivf_ann"            -> q37Sql, // same pass/fail contract as q37
+    "q46_winnowing_dedup"    -> q34Sql, // same exact truth as q34/q35
     "q42_curation_pipeline"  -> q42Sql,
   )
 }

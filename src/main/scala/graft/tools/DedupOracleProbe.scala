@@ -35,8 +35,11 @@ object DedupOracleProbe {
         blocks = 4, maxHamming = 8).cache()
       val sh = shAll.select("id_a", "id_b")
       val union = sh.union(mh).distinct().cache()
+      val wn = Dedup.winnowingCandidates(docs, "doc_id", "text",
+        shingleN = 5, window = 4, dfCap = 100).cache()
+      val wnUnion = wn.union(mh).distinct().cache()
       println(s"minhash cands(b32r2): ${mh.count()}, simhash cands(b4): ${sh.count()}, " +
-        s"union: ${union.count()}")
+        s"union: ${union.count()}, winnowing cands: ${wn.count()}, wnUnion: ${wnUnion.count()}")
       println("truth-pair hamming histogram (jaccard>=0.8):")
       exact.filter(col("jaccard") >= 0.8)
         .join(shAll, Seq("id_a", "id_b"), "left")
@@ -48,10 +51,14 @@ object DedupOracleProbe {
         val missMh = truth.join(mh, Seq("id_a", "id_b"), "left_anti").count()
         val missSh = truth.join(sh, Seq("id_a", "id_b"), "left_anti").count()
         val missUnion = truth.join(union, Seq("id_a", "id_b"), "left_anti").count()
+        val missWn = truth.join(wn, Seq("id_a", "id_b"), "left_anti").count()
+        val missWnUnion = truth.join(wnUnion, Seq("id_a", "id_b"), "left_anti").count()
         println(f"  tau=$tau%.1f truth=$nTruth%d missMinhash=$missMh%d " +
-          f"missSimhash=$missSh%d missUnion(q35)=$missUnion%d")
+          f"missSimhash=$missSh%d missUnion(q35)=$missUnion%d " +
+          f"missWinnow=$missWn%d missWnUnion(q46)=$missWnUnion%d")
       }
       exact.unpersist(); mh.unpersist(); sh.unpersist(); union.unpersist()
+      wn.unpersist(); wnUnion.unpersist()
     }
     spark.stop()
   }

@@ -63,6 +63,44 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 3L)) == 0L)
   }
 
+  test("winnowing fingerprints: subset of shingle hashes, window guarantee, determinism") {
+    import graft.functions.{TextExpressions, WinnowingFingerprints, TextSketch}
+    val rows = docs.select(col("doc_id"),
+        TextExpressions.winnowingFingerprints(graft.text.TextOps.tokens(col("text")), 3, 4).as("fps"),
+        graft.functions.TextExpressions.distinctShingleHashes(
+          graft.text.TextOps.tokens(col("text")), 3).as("shingles"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toList
+    rows.foreach { case (_, fps, shingles) =>
+      assert(fps.nonEmpty) // every shingled doc yields >= 1 fingerprint
+      assert(fps.toSet.subsetOf(shingles.toSet)) // fingerprints ARE shingle hashes
+      assert(fps == fps.sorted && fps.distinct == fps)
+      // density: winnowing keeps far fewer than all shingles on long docs
+      if (shingles.length > 12) assert(fps.length < shingles.length)
+    }
+    // identical docs fingerprint identically
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(2L) == byId(3L))
+    // window-min guarantee on the raw array algorithm: every window of w
+    // consecutive shingle hashes contains a selected fingerprint
+    val sh = Array(9L, 7L, 8L, 3L, 5L, 6L, 2L, 4L)
+    val fps = WinnowingFingerprints.winnow(sh, 3)
+    assert(fps.toSeq == fps.toSeq.sorted)
+    sh.sliding(3).foreach(wnd => assert(wnd.exists(fps.contains), wnd.toSeq))
+    // rightmost-min tie-break: equal mins keep the later position's hash
+    assert(WinnowingFingerprints.winnow(Array(5L, 5L, 5L), 2).toSeq == Seq(5L))
+    assert(WinnowingFingerprints.winnow(Array.emptyLongArray, 4).isEmpty)
+    // short stream (< w windows) collapses to the global min
+    assert(WinnowingFingerprints.winnow(Array(4L, 2L, 9L), 5).toSeq == Seq(2L))
+  }
+
+  test("winnowing candidates find planted pairs, skip unrelated") {
+    val keys = Dedup.winnowingCandidates(docs, "doc_id", "text", shingleN = 3, window = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(keys.contains((2L, 3L)))
+    assert(!keys.contains((4L, 5L)))
+  }
+
   test("hot-shingle cap prevents stopword-shingle pair explosion") {
     import spark.implicits._
     // 30 docs sharing one hot shingle, otherwise distinct
