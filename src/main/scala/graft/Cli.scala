@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.io.{GraphCsvSink, KgxIO}
-import graft.derive.{AnswerCoalesce, DerivedGraphs, MetaKg}
+import graft.derive.{AnswerCoalesce, DerivedGraphs, MetaKg, Neo4jMetaKg}
 import graft.merge.{GraphMerger, MergeEngine}
 import graft.pipeline.{GraphBundle, GraphSpec}
 
@@ -44,6 +44,9 @@ object Cli {
     case "meta-kg" =>
       val (nodes, edges) = (spark.read.json(args(1)), spark.read.json(args(2)))
       MetaKg.writeMetaKgFiles(nodes, edges, args(3))
+    case "plater-meta-kg" => // D7: the neo4j_generated_* pair, from DataFrames
+      val (nodes, edges) = (spark.read.json(args(1)), spark.read.json(args(2)))
+      Neo4jMetaKg.generate(nodes, edges, args(3))
     case "ac" =>
       val ac = AnswerCoalesce.build(spark.read.json(args(1)), spark.read.json(args(2)))
       val out = args(3)
