@@ -111,8 +111,11 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+      // tie-stable rounding (StableRound scaladoc): the ratio of exact ints
+      // is bit-identical in any engine, so the rounded value is too
+      .withColumn("jaccard", graft.functions.StableRound.tieStableRound(
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -144,8 +147,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")), 4))
+      .withColumn("jaccard", graft.functions.StableRound.tieStableRound(
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       // materialize the small pair set, then drop the inverted-index cache

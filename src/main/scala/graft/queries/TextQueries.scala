@@ -28,7 +28,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_bpeish")).as("total_bpeish"),
-        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        graft.functions.StableRound.tieStableRound(avg(col("n_tokens")), 4).as("avg_tokens"))
       .orderBy(col("lang"))
   }
 
@@ -37,8 +37,8 @@ object TextQueries {
        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
        CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
-       round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END), 4) AS avg_tokens
+       floor(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END) * 10000 + 0.5) / 10000 AS avg_tokens
        FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Quality scoring: length saturation + punctuation + stopword ratios. */
@@ -112,12 +112,12 @@ object TextQueries {
        hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
        cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot))
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) AS jaccard
+              floor(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 AS jaccard
        FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING round(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) >= 0.1
+       HAVING floor(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.1
        ORDER BY id_a, id_b"""
 
   /** MinHash+LSH near-dup detection, full stack: banded LSH candidates →
@@ -185,12 +185,12 @@ object TextQueries {
                  FROM docs WHERE len(shingles) > 0),
        inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              round(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) AS jaccard
+              floor(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 AS jaccard
        FROM inverted a JOIN inverted b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING round(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) >= 0.8
+       HAVING floor(CAST(count(*) AS DOUBLE) /
+                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.8
        ORDER BY id_a, id_b"""
 
   /** Brute-force cosine top-5 for a bounded query set (|Q|=50) — the ANN
@@ -205,8 +205,8 @@ object TextQueries {
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
        pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                             CAST(c.embedding AS DOUBLE[])), 6) AS score
+                floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS score
          FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
        SELECT query_id, neighbor_id, rank, score FROM (
          SELECT query_id, neighbor_id, score,
@@ -238,7 +238,8 @@ object TextQueries {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(Similarity.cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("score", graft.functions.StableRound.tieStableRound(
+        Similarity.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("score") >= 0.2)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
@@ -246,12 +247,12 @@ object TextQueries {
 
   private val q38Sql =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6) AS score
+              floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS score
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE a.vec_id < 300 AND b.vec_id < 300
-         AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+         AND floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 >= 0.2
        ORDER BY id_a, id_b"""
 
   /** Multimodal plumbing: documents as stand-in binary payloads →
@@ -344,8 +345,8 @@ object TextQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
-         HAVING round(CAST(count(*) AS DOUBLE) /
-                      (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 4) >= 0.1),
+         HAVING floor(CAST(count(*) AS DOUBLE) /
+                      (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.1),
        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
        reach(id, comp) AS (

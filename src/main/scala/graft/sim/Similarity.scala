@@ -40,7 +40,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("q_vec"), col("c_vec")), 6))
+      // tie-stable rounding (StableRound scaladoc): both engines compute
+      // the sequential double dot product bit-identically
+      .withColumn("score",
+        graft.functions.StableRound.tieStableRound(cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

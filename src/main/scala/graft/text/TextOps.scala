@@ -39,13 +39,11 @@ object TextOps {
     val lenScore = least(nTok / 50.0, lit(1.0))
     val punctRatio = least(punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0)), lit(1.0))
     val stopRatio = least(stopwordHits(text, englishStopwords).cast("double") / greatest(nTok, lit(1.0)), lit(1.0))
-    // floor-based rounding, NOT round(): Spark's round() goes through
-    // BigDecimal of the double's shortest decimal string (HALF_UP on what
-    // it prints), DuckDB rounds the raw binary double — an exact decimal
-    // tie like 0.72625 diverges between the two. floor(x·1e4 + 0.5)/1e4 is
-    // pure IEEE double arithmetic, bit-identical in any engine.
-    floor((lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
-      lit(0.3) * stopRatio) * 10000.0 + 0.5) / 10000.0
+    // tie-stable rounding, NOT round() — see graft.functions.StableRound
+    // (an exact decimal tie like 0.72625 rounds differently in Spark's
+    // BigDecimal path vs DuckDB's raw-binary-double path)
+    graft.functions.StableRound.tieStableRound(
+      lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio, 4)
   }
 
   val englishStopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
