@@ -43,7 +43,9 @@ object MetaKg {
   def metaNodes(nodes: DataFrame): DataFrame =
     nodes
       .select(explode(graft.model.BiolinkModel.leafCategories(col("category"))).as("node_type"),
-        regexp_extract(col("id"), "^([^:]+):", 1).as("prefix"))
+        // split(':')[0] like the reference — a colonless id contributes
+        // itself, not an empty string
+        split(col("id"), ":").getItem(0).as("prefix"))
       .groupBy(col("node_type"))
       .agg(count(lit(1)).as("n_nodes"),
         array_sort(collect_set(col("prefix"))).as("id_prefixes"))

@@ -59,6 +59,10 @@ object Neo4jMetaKg {
       attributeTypeMap.getOrElse(name, "biolink:Attribute"),
       valueTypeMap.getOrElse(name, "EDAM:data_0006")))
 
+  /** predicate_has_qualifiers (biolink_utils.py:152-156) — the reference
+    * hardcodes exactly these two. */
+  val qualifierPredicates: Set[String] = Set("biolink:affects", "biolink:regulates")
+
   /** Leaf types with the NamedThing-only filter (:31-38): drop NamedThing
     * from the label set BEFORE taking leaves; nodes with nothing left are
     * excluded entirely. */
@@ -95,16 +99,18 @@ object Neo4jMetaKg {
     val inverses = triples.flatMap { case (s, p, o) =>
       BiolinkModel.invertPredicate(p).filterNot(inv => present.contains((o, inv, s)))
         .map(inv => MetaEdge(o, inv, s, inverted = true))
-    }.distinct.filterNot(e => present.contains((e.subject, e.predicate, e.obj)))
-    direct ++ inverses.filterNot(i =>
-      direct.exists(d => d.subject == i.subject && d.predicate == i.predicate && d.obj == i.obj))
+    }.distinct
+    direct ++ inverses
   }
 
   /** One deterministic example edge per (subject_type, predicate,
-    * object_type), preferring rows with a qualified_predicate — the
-    * reference's qualifier-first example query with its unqualified
-    * fallback (:78-95) as ONE window pass instead of up to two Cypher
-    * queries per meta-edge. */
+    * object_type) — the reference's example query with its qualifier-first
+    * preference (:78-95) as ONE window pass instead of up to two Cypher
+    * queries per meta-edge. The qualified-example preference applies only
+    * to predicates that can carry qualifiers (predicate_has_qualifiers,
+    * biolink_utils.py:152-156), like the reference. The row's full JSON is
+    * the final orderBy key so the window has a TOTAL order even when
+    * several edges share subject/object but differ in qualifier values. */
   def exampleEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val types = nodeTypes(nodes)
     val hasQp = edges.columns.contains("qualified_predicate")
@@ -114,19 +120,24 @@ object Neo4jMetaKg {
         edges(Biolink.Subject) === col("_sid"))
       .join(types.select(col("id").as("_oid"), col("node_type").as("object_type")),
         edges(Biolink.Object_) === col("_oid"))
-      .withColumn("_has_q", qpCol.isNotNull.cast("int"))
+      .withColumn("_has_q",
+        (qpCol.isNotNull &&
+          col(Biolink.Predicate).isin(qualifierPredicates.toSeq: _*)).cast("int"))
+      .withColumn("_row_json", to_json(struct(edges.columns.map(col): _*)))
     val w = Window.partitionBy(col("subject_type"), col(Biolink.Predicate), col("object_type"))
-      .orderBy(col("_has_q").desc, col(Biolink.Subject), col(Biolink.Object_))
+      .orderBy(col("_has_q").desc, col(Biolink.Subject), col(Biolink.Object_), col("_row_json"))
     joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_has_q", "_sid", "_oid")
+      .drop("_rn", "_has_q", "_row_json", "_sid", "_oid")
   }
 
-  /** Per-type id prefixes + observed attribute (property) names. */
+  /** Per-type id prefixes + observed attribute (property) names. The
+    * prefix is split(':')[0] like the reference (:153) — a colonless id
+    * contributes itself, not an empty string. */
   def nodeTypeInfo(nodes: DataFrame): DataFrame = {
     val propCols = nodes.columns.filterNot(_ == "category")
     nodes
       .select(explode(filteredLeafTypes(col("category"))).as("node_type"),
-        regexp_extract(col("id"), "^([^:]+):", 1).as("prefix"),
+        split(col("id"), ":").getItem(0).as("prefix"),
         filter(array(propCols.map(c =>
           when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull).as("props"))
       .groupBy(col("node_type"))
@@ -192,7 +203,12 @@ object Neo4jMetaKg {
           o.put("predicate", e.predicate)
           o.put("subject_id", r.getAs[String](Biolink.Subject))
           o.put("object_id", r.getAs[String](Biolink.Object_))
-          val qualifierCols = r.schema.fieldNames.filter(_.contains("qualifie"))
+          // qualifiers attach only for predicates that can carry them
+          // (the reference's has_qualifiers gate, :103-113)
+          val qualifierCols =
+            if (qualifierPredicates.contains(e.predicate))
+              r.schema.fieldNames.filter(_.contains("qualifie"))
+            else Array.empty[String]
           val quals = qualifierCols.flatMap { c =>
             Option(r.getAs[Any](c)).map(v =>
               (if (c.startsWith("biolink:")) c else s"biolink:$c") -> v.toString)

@@ -52,14 +52,18 @@ object GraphRegistry {
       resp.statusCode() match {
         case 200 => Some(new String(resp.body().readAllBytes(), "UTF-8"))
         case 404 => resp.body().close(); None
-        case code => throw RegistryError(s"Request to $base$path returned HTTP $code")
+        case code =>
+          resp.body().close() // don't leak the pooled connection on errors
+          throw RegistryError(s"Request to $base$path returned HTTP $code")
       }
     }
 
     override def download(url: String, dest: Path): Unit = {
       val resp = send(url)
-      if (resp.statusCode() != 200)
+      if (resp.statusCode() != 200) {
+        resp.body().close()
         throw RegistryError(s"Download of $url returned HTTP ${resp.statusCode()}")
+      }
       Option(dest.getParent).foreach(Files.createDirectories(_))
       val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
       val in = resp.body()

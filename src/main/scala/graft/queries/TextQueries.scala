@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.StableRound
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -28,18 +29,20 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_bpeish")).as("total_bpeish"),
-        graft.functions.StableRound.tieStableRound(avg(col("n_tokens")), 4).as("avg_tokens"))
+        StableRound.tieStableRound(avg(col("n_tokens")), 4).as("avg_tokens"))
       .orderBy(col("lang"))
   }
 
-  private val q30Sql =
-    """SELECT lang, count(*) AS n_docs,
+  private val q30Sql = {
+    val avgTokens = """avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)"""
+    s"""SELECT lang, count(*) AS n_docs,
        CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
-       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
-       floor(avg(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END) * 10000 + 0.5) / 10000 AS avg_tokens
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpeish,
+       ${StableRound.sql(avgTokens, 4)} AS avg_tokens
        FROM documents GROUP BY lang ORDER BY lang"""
+  }
 
   /** Quality scoring: length saturation + punctuation + stopword ratios. */
   private val q31: Q = (s, dir) => {
@@ -48,12 +51,16 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The quality-score expression shared by the q31/q42 oracles
+    * (TextOps.qualityScore's SQL twin). */
+  private val qualityRounded = StableRound.sql(
+    """0.4 * least(ntok / 50.0, 1.0)
+         + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
+         + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)""", 4)
+
   private val q31Sql = {
     val stop = TextOps.englishStopwords.mkString("|")
-    s"""SELECT doc_id, floor((
-         0.4 * least(ntok / 50.0, 1.0)
-         + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
-         + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)) * 10000 + 0.5) / 10000 AS quality
+    s"""SELECT doc_id, $qualityRounded AS quality
        FROM (
          SELECT doc_id, text,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -100,6 +107,11 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The pair-jaccard expression shared by the q33/q34/q41 oracles, rounded
+    * through the one tie-stable formula (StableRound). */
+  private val jaccardRounded = StableRound.sql(
+    "CAST(count(*) AS DOUBLE) / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))", 4)
+
   private val q33Sql =
     """WITH docs AS (
          SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
@@ -112,12 +124,10 @@ object TextQueries {
        hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
        cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot))
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              floor(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 AS jaccard
+              """ + jaccardRounded + """ AS jaccard
        FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING floor(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.1
+       HAVING """ + jaccardRounded + """ >= 0.1
        ORDER BY id_a, id_b"""
 
   /** MinHash+LSH near-dup detection, full stack: banded LSH candidates →
@@ -185,12 +195,10 @@ object TextQueries {
                  FROM docs WHERE len(shingles) > 0),
        inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              floor(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 AS jaccard
+              """ + jaccardRounded + """ AS jaccard
        FROM inverted a JOIN inverted b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING floor(CAST(count(*) AS DOUBLE) /
-                    (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.8
+       HAVING """ + jaccardRounded + """ >= 0.8
        ORDER BY id_a, id_b"""
 
   /** Brute-force cosine top-5 for a bounded query set (|Q|=50) — the ANN
@@ -205,8 +213,9 @@ object TextQueries {
     """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
        pairs AS (
          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                             CAST(c.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS score
+                """ + StableRound.sql(
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6) +
+    """ AS score
          FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.vec_id)
        SELECT query_id, neighbor_id, rank, score FROM (
          SELECT query_id, neighbor_id, score,
@@ -246,41 +255,52 @@ object TextQueries {
   }
 
   private val q38Sql =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS score
+    {
+      val score = StableRound.sql(
+        "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              """ + score + """ AS score
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE a.vec_id < 300 AND b.vec_id < 300
-         AND floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 >= 0.2
+         AND """ + score + """ >= 0.2
        ORDER BY id_a, id_b"""
+    }
 
   /** Multimodal plumbing: documents as stand-in binary payloads →
     * partition-wise stub feature extraction. The stub's integer byte
     * accumulation (Multimodal.decodeStub) makes the derived stats exactly
-    * SQL-expressible: feature_sum = Σᵢ float32(byteSumᵢ/255/len·dim), whose
-    * double twin (Σ bytes)/255/len·dim differs by < 1e-5 — invisible at
-    * round(4). The DuckDB side reads payload bytes through hex(). */
+    * SQL-expressible, and the oracle replicates the per-feature float32
+    * cast (`CAST(... AS REAL)`) plus the left-associative 8-term sum, so
+    * both engines compute BIT-IDENTICAL doubles — structural parity, not
+    * "the float/double gap is probably below the rounding digit". The
+    * DuckDB side reads payload bytes through hex(). */
   private val q39: Q = (s, dir) => {
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.extractFeatures(media, featureDim = 8)
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feature_sum"))
+        graft.functions.StableRound.tieStableRound(
+          aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feature_sum"))
       .orderBy(col("media_id"))
   }
 
-  private val q39Sql =
-    """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
-       h AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n FROM m),
-       f AS (SELECT media_id, n,
-               CASE WHEN n > 0 THEN list_sum(list_transform(range(1, n + 1), i ->
-                 strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
-                 + strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 17))
-               ELSE 0 END AS byte_sum
-             FROM h)
+  private val q39Sql = {
+    // feature_i = float32(byteSum_i / 255 / n * 8) where byteSum_i sums the
+    // payload bytes at 1-based positions ≡ i+1 (mod 8) — decodeStub exactly
+    def byteVal(p: String) =
+      s"(strpos('0123456789ABCDEF', substring(hx, 2*($p)-1, 1)) * 16" +
+      s" + strpos('0123456789ABCDEF', substring(hx, 2*($p), 1)) - 17)"
+    val features = (0 until 8).map { i =>
+      s"CAST(CAST(CAST(coalesce(list_sum(list_transform(range(${i + 1}, n + 1, 8), " +
+      s"p -> ${byteVal("p")})), 0) AS DOUBLE) / 255.0 / n * 8 AS REAL) AS DOUBLE)"
+    }
+    val fsum = features.mkString("(", " + ", ")") // left-assoc like Spark's aggregate fold
+    s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+       h AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n FROM m)
        SELECT media_id, 'image' AS kind, CAST(n AS INT) AS n_bytes,
-              round(CASE WHEN n > 0 THEN byte_sum / 255.0 / n * 8 ELSE 0.0 END, 4) AS feature_sum
-       FROM f ORDER BY media_id"""
+              CASE WHEN n > 0 THEN ${graft.functions.StableRound.sql(fsum, 4)}
+                   ELSE 0.0 END AS feature_sum
+       FROM h ORDER BY media_id"""
+  }
 
   /** Winnowing-fingerprint near-dup detection (rolling-hash document
     * fingerprinting, Schleimer et al. SIGMOD 2003), full stack: fingerprint
@@ -345,8 +365,7 @@ object TextQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
-         HAVING floor(CAST(count(*) AS DOUBLE) /
-                      (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) * 10000 + 0.5) / 10000 >= 0.1),
+         HAVING """ + jaccardRounded + """ >= 0.1),
        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
        reach(id, comp) AS (
@@ -381,9 +400,7 @@ object TextQueries {
       hits(TextOps.germanStopwords), hits(TextOps.frenchStopwords))
     s"""WITH scored AS (
          SELECT doc_id, text,
-           floor((0.4 * least(ntok / 50.0, 1.0)
-                  + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
-                  + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)) * 10000 + 0.5) / 10000 AS quality,
+           $qualityRounded AS quality,
            CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
                 WHEN en = greatest(en, es, de, fr) THEN 'en'
                 WHEN es = greatest(en, es, de, fr) THEN 'es'

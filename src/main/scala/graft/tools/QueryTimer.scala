@@ -10,6 +10,7 @@ import graft.{Sessions, SparkEntry}
 object QueryTimer {
   def main(args: Array[String]): Unit = {
     val sfIdx = args.indexOf("-sf")
+    require(sfIdx < 0 || sfIdx + 1 < args.length, "-sf requires a directory argument")
     val sfDir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.1"
     val names = (if (sfIdx >= 0) args.take(sfIdx) ++ args.drop(sfIdx + 2) else args).toSeq
     require(names.nonEmpty, "pass at least one query name")
