@@ -68,7 +68,14 @@ object Bench {
         val (secs, dups, expected) = DedupScaleSmoke.run(spark, 1000000L)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"sf":"$sfDir"}"""
+    // the winnowing engine over the same 1M docs — result-checked against
+    // the same expected duplicate count; same sentinels
+    val winnowSmokeSec =
+      try {
+        val (secs, dups, expected) = DedupScaleSmoke.runWinnowing(spark, 1000000L)
+        if (dups == expected) secs else -2.0
+      } catch { case _: Throwable => -1.0 }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"winnow_smoke_sec":$winnowSmokeSec,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only a tail — persist the full JSON
     // to a file so the committed artifact parses without stdout archaeology

@@ -22,43 +22,71 @@ object DedupScaleSmoke {
     val n = (nMill * 1000000L).toLong
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val (secs, dups, expectedDups) = run(spark, n)
-    println(f"[dedup-scale-smoke] docs=$n dups_found=$dups " +
+    println(f"[dedup-scale-smoke] minhash docs=$n dups_found=$dups " +
       f"(expected=$expectedDups) wall=$secs%.1f s " +
       f"heap=${Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
+    val (wsecs, wdups, wexpected) = runWinnowing(spark, n)
+    println(f"[dedup-scale-smoke] winnowing docs=$n dups_found=$wdups " +
+      f"(expected=$wexpected) wall=$wsecs%.1f s")
     spark.stop()
   }
 
-  /** Runs the full near-dup path over n synthetic docs; returns
-    * (wall seconds, duplicates found, duplicates expected). Callable from
-    * Bench so the round artifact carries a fixed-scale dedup throughput. */
-  def run(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
-    // deterministic word-soup text: 30 tokens drawn from a base id so that
-    // doc 10k+1 shares ~90% of tokens with doc 10k (near-dup) and doc
-    // 20k+2 duplicates doc 20k exactly
+  /** The synthetic corpus: 30 tokens drawn from a base id so that doc
+    * 10k+1 shares ~90% of tokens with doc 10k (near-dup) and doc 20k+2
+    * duplicates doc 20k exactly. */
+  private def corpus(spark: org.apache.spark.sql.SparkSession,
+                     n: Long): org.apache.spark.sql.DataFrame = {
     val base = spark.range(n).select(
       col("id"),
       when(col("id") % 20 === 2, col("id") - 2)
         .otherwise(when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id"))).as("base_id"),
       (col("id") % 10 === 1).as("is_near"))
-    val docs = base.select(
+    base.select(
       col("id").as("doc_id"),
       concat_ws(" ",
         (0 until 30).map(i =>
           concat(lit(s"w$i"), pmod(xxhash64(col("base_id") + i), lit(5000)))) ++
         Seq(when(col("is_near"), concat(lit("extra"), col("id"))).otherwise(lit("common"))): _*)
         .as("text"))
+  }
 
+  private def expectedDups(n: Long): Long = n / 10 + n / 20 // near (every 10th) + exact (every 20th)
+
+  private def countDups(docs: org.apache.spark.sql.DataFrame,
+                        pairs: org.apache.spark.sql.DataFrame): Long = {
+    val decisions = Components.canonicalize(
+      docs.select(col("doc_id").cast("long").as("id")), pairs)
+    decisions.agg(sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("dups"))
+      .head().getLong(0)
+  }
+
+  /** Full minhash near-dup path over n synthetic docs; returns
+    * (wall seconds, duplicates found, duplicates expected). Callable from
+    * Bench so the round artifact carries a fixed-scale dedup throughput. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
+    val docs = corpus(spark, n)
     val t0 = System.nanoTime()
     val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4)
       .filter(col("estimated_jaccard") >= 0.5)
-    val decisions = Components.canonicalize(
-      docs.select(col("doc_id").cast("long").as("id")), pairs)
-    val stats = decisions.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("dups")).head()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val expectedDups = n / 10 + n / 20 // near-dups (every 10th) + exact dups (every 20th)
-    (secs, stats.getLong(1), expectedDups)
+    val dups = countDups(docs, pairs)
+    ((System.nanoTime() - t0) / 1e9, dups, expectedDups(n))
+  }
+
+  /** Same corpus through the winnowing-fingerprint path: candidates from
+    * the fingerprint inverted index → exact Jaccard verify ≥ 0.5 →
+    * connected components. Each planted pair shares a ≥ 29-token run, far
+    * beyond the n+w-1 window guarantee, so the expected duplicate count is
+    * identical to the minhash path — a second engine-at-scale check, not a
+    * second truth. */
+  def runWinnowing(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
+    val docs = corpus(spark, n)
+    val t0 = System.nanoTime()
+    val cands = Dedup.winnowingCandidates(docs, "doc_id", "text",
+      shingleN = 5, window = 4, dfCap = 100)
+    val pairs = Dedup.verifyJaccardPairs(docs, "doc_id", "text", cands, shingleN = 3)
+      .filter(col("jaccard") >= 0.5)
+    val dups = countDups(docs, pairs)
+    ((System.nanoTime() - t0) / 1e9, dups, expectedDups(n))
   }
 }
