@@ -66,27 +66,40 @@ object GraphMerger {
   }
 
   /** A8 — dont_merge: nodes participate in the node merge, edge files are
-    * appended verbatim (ref orion/kgx_file_merger.py:164-172). */
+    * appended verbatim (ref orion/kgx_file_merger.py:164-172).
+    *
+    * Secondary/dont_merge node additions go through a second
+    * ordinal-tagged property merge against the primary result — the same
+    * first-truthy-wins fold the primary sources got, in source order
+    * (primary result, then secondary backfills, then dont_merge sources).
+    * An earlier version used dropDuplicates("id"), which keeps an
+    * ARBITRARY row per id: nondeterministic output digests and no
+    * property union, neither of which matches the reference. */
   def mergeGraph(primary: Seq[SourceGraph],
                  secondary: Seq[SourceGraph] = Nil,
                  dontMerge: Seq[SourceGraph] = Nil,
                  edgeMergingAttributes: Seq[String] = Nil,
                  counters: Option[MergeEngine.MergeCounters] = None): MergedGraph = {
     val base = mergePrimary(primary, edgeMergingAttributes, counters)
-    var nodes = base.nodes
     var edges = base.edges
+    val addedNodeFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var knownIds = base.nodes.select("id")
     secondary.foreach { sg =>
-      val (addNodes, addEdges) = connectedEdgeSubset(nodes.select("id"), sg)
-      nodes = nodes.unionByName(addNodes, allowMissingColumns = true)
+      val (addNodes, addEdges) = connectedEdgeSubset(knownIds, sg)
+      addedNodeFrames += addNodes
+      knownIds = knownIds.union(addNodes.select("id")).distinct()
       edges = edges.unionByName(addEdges, allowMissingColumns = true)
     }
     dontMerge.foreach { sg =>
-      nodes = nodes.unionByName(sg.nodes, allowMissingColumns = true)
+      addedNodeFrames += sg.nodes
       edges = edges.unionByName(sg.edges, allowMissingColumns = true)
     }
-    // dont_merge / secondary node additions still dedup on id (first wins)
-    if (secondary.nonEmpty || dontMerge.nonEmpty)
-      nodes = nodes.dropDuplicates("id")
+    val nodes =
+      if (addedNodeFrames.isEmpty) base.nodes
+      else {
+        val unioned = unionAll(MergeEngine.withOrdinal(base.nodes +: addedNodeFrames.toSeq))
+        MergeEngine.jsonToDf(MergeEngine.mergeNodes(unioned, counters), Some(unioned.schema))
+      }
     base.copy(nodes = nodes, edges = edges)
   }
 

@@ -355,8 +355,105 @@ object GraphQueries {
        FROM normed
        ORDER BY subject, object, original_subject"""
 
+  /** J4 — connected_edge_subset through the real GraphMerger: secondary
+    * edges kept when EITHER endpoint is in the primary id set, missing
+    * endpoints backfilled from the secondary's nodes
+    * (ref orion/kgx_file_merger.py:127-162). Output = kept edges + the
+    * backfill node ids, tagged so one result covers both halves. */
+  private val q47: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val edges = li.select(
+      concat(lit("SUPP:"), col("l_suppkey")).as("subject"),
+      lit("supplies").as("predicate"),
+      concat(lit("PART:"), col("l_partkey")).as("object"))
+    val secNodes = edges.select(col("subject").as("id"))
+      .union(edges.select(col("object"))).distinct()
+    val prim = Tables.supplier(s, dir).filter(col("s_nationkey") < 5)
+      .select(concat(lit("SUPP:"), col("s_suppkey")).as("id"))
+    val (addNodes, kept) = GraphMerger.connectedEdgeSubset(prim,
+      GraphMerger.SourceGraph("sec", secNodes, edges))
+    kept.select(lit("edge").as("kind"), col("subject").as("a"), col("object").as("b"))
+      .unionByName(addNodes.select(lit("backfill").as("kind"), col("id").as("a"),
+        lit(null).cast("string").as("b")))
+  }
+
+  private val q47Sql =
+    """WITH prim AS (SELECT 'SUPP:' || s_suppkey AS id FROM supplier WHERE s_nationkey < 5),
+       sec AS (SELECT 'SUPP:' || l_suppkey AS subject, 'PART:' || l_partkey AS object FROM lineitem),
+       kept AS (SELECT subject, object FROM sec
+                WHERE subject IN (SELECT id FROM prim) OR object IN (SELECT id FROM prim)),
+       endpoints AS (SELECT DISTINCT subject AS id FROM kept
+                     UNION SELECT DISTINCT object FROM kept),
+       backfill AS (SELECT id FROM endpoints WHERE id NOT IN (SELECT id FROM prim))
+       SELECT kind, a, b FROM (
+         SELECT 'edge' AS kind, subject AS a, object AS b FROM kept
+         UNION ALL
+         SELECT 'backfill', id, NULL FROM backfill)
+       ORDER BY kind, a, b"""
+
+  /** A8 — dont_merge through the real GraphMerger.mergeGraph: the
+    * dont_merge source's nodes go through the ordinal-ordered property
+    * merge (overlapping ids keep the primary's name — first truthy wins),
+    * its edges append VERBATIM, duplicates included
+    * (ref orion/kgx_file_merger.py:164-172). */
+  private val q48: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val primNodes = cust.select(concat(lit("CUST:"), col("c_custkey")).as("id"),
+      col("c_name").as("name"))
+    val orders = Tables.orders(s, dir)
+    val primEdges = orders.select(
+      concat(lit("CUST:"), col("o_custkey")).as("subject"),
+      lit("placed").as("predicate"),
+      concat(lit("ORDER:"), col("o_orderkey")).as("object"),
+      lit("infores:prim").as("primary_knowledge_source"))
+    // overlapping ids whose name must LOSE, new EXTRA ids that must appear,
+    // and a verbatim-append edge slice that duplicates primary edge keys
+    val dmNodes = cust.filter(col("c_custkey") % 2 === 0)
+      .select(concat(lit("CUST:"), col("c_custkey")).as("id"),
+        lit("dm-should-lose").as("name"))
+      .union(cust.filter(col("c_custkey") % 1000 === 0)
+        .select(concat(lit("EXTRA:"), col("c_custkey")), lit("dm-extra")))
+    val dmEdges = orders.filter(col("o_orderkey") % 50 === 0).select(
+      concat(lit("CUST:"), col("o_custkey")).as("subject"),
+      lit("placed").as("predicate"),
+      concat(lit("ORDER:"), col("o_orderkey")).as("object"),
+      lit("infores:dm").as("primary_knowledge_source"))
+    val merged = GraphMerger.mergeGraph(
+      primary = Seq(GraphMerger.SourceGraph("prim", primNodes, primEdges)),
+      dontMerge = Seq(GraphMerger.SourceGraph("dm", dmNodes, dmEdges)))
+    merged.nodes.select(lit("node").as("kind"), col("id").as("a"), col("name").as("b"))
+      .unionByName(merged.edges.select(lit("edge").as("kind"),
+        concat_ws("|", col("subject"), col("object")).as("a"),
+        col("primary_knowledge_source").as("b")))
+  }
+
+  private val q48Sql =
+    """WITH prim_nodes AS (SELECT 'CUST:' || c_custkey AS id, c_name AS name FROM customer),
+       dm_nodes AS (
+         SELECT 'CUST:' || c_custkey AS id, 'dm-should-lose' AS name
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT 'EXTRA:' || c_custkey, 'dm-extra' FROM customer WHERE c_custkey % 1000 = 0),
+       nodes AS (
+         SELECT id, name FROM prim_nodes
+         UNION ALL
+         SELECT id, name FROM dm_nodes WHERE id NOT IN (SELECT id FROM prim_nodes)),
+       edges AS (
+         SELECT 'CUST:' || o_custkey || '|' || 'ORDER:' || o_orderkey AS a,
+                'infores:prim' AS b FROM orders
+         UNION ALL
+         SELECT 'CUST:' || o_custkey || '|' || 'ORDER:' || o_orderkey,
+                'infores:dm' FROM orders WHERE o_orderkey % 50 = 0)
+       SELECT kind, a, b FROM (
+         SELECT 'node' AS kind, id AS a, name AS b FROM nodes
+         UNION ALL
+         SELECT 'edge', a, b FROM edges)
+       ORDER BY kind, a, b"""
+
   val defs: Map[String, Q] = Map(
     "q20_kgx_node_merge"        -> q20,
+    "q47_connected_edge_subset" -> q47,
+    "q48_dont_merge"            -> q48,
     "q21_edge_merge_key"        -> q21,
     "q22_norm_split_join"       -> q22,
     "q23_redundant_expansion"   -> q23,
@@ -371,6 +468,8 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q29_normalize_edges"       -> q29Sql,
     "q20_kgx_node_merge"        -> q20Sql,
+    "q47_connected_edge_subset" -> q47Sql,
+    "q48_dont_merge"            -> q48Sql,
     "q21_edge_merge_key"        -> q21Sql,
     "q22_norm_split_join"       -> q22Sql,
     "q23_redundant_expansion"   -> q23Sql,
