@@ -180,6 +180,23 @@ object RelationalQueries {
          SELECT 'priority' AS kind, o_orderpriority AS value FROM orders)
        GROUP BY kind, value ORDER BY kind, value"""
 
+  /** P3 — id-set membership filter through the real Extractor.filterBySet,
+    * deliberately sized ABOVE the broadcast-isin cutoff so the oracled path
+    * is the scale one: a left-semi join against the distributed set (ref
+    * orion/extractor.py:51-54). */
+  private val q49: Q = (s, dir) => {
+    val ids = (1 until 40000 by 2).map(_.toString).toSet // 20k > the 10k isin cutoff
+    graft.extract.Extractor.filterBySet(
+        Tables.part(s, dir), col("p_partkey").cast("string"), ids)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q49Sql =
+    """SELECT p_brand, count(*) AS n FROM part
+       WHERE p_partkey % 2 = 1 AND p_partkey BETWEEN 1 AND 39999
+       GROUP BY p_brand ORDER BY p_brand"""
+
   /** Window top-k per group (scale op beyond the reference; the shuffle is
     * one hash partition by c_custkey, no global sort). */
   private val q09: Q = (s, dir) => {
@@ -383,6 +400,7 @@ object RelationalQueries {
     "q06_dedup_exact"            -> q06,
     "q07_union_sources"          -> q07,
     "q08_fanout_explode"         -> q08,
+    "q49_id_set_filter"          -> q49,
     "q09_topk_per_group"         -> q09,
     "q10_grouped_evidence_vote"  -> q10,
     "q11_hourly_rollup"          -> q11,
@@ -407,6 +425,7 @@ object RelationalQueries {
     "q06_dedup_exact"            -> q06Sql,
     "q07_union_sources"          -> q07Sql,
     "q08_fanout_explode"         -> q08Sql,
+    "q49_id_set_filter"          -> q49Sql,
     "q09_topk_per_group"         -> q09Sql,
     "q10_grouped_evidence_vote"  -> q10Sql,
     "q11_hourly_rollup"          -> q11Sql,
