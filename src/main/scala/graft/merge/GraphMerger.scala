@@ -68,39 +68,60 @@ object GraphMerger {
   /** A8 — dont_merge: nodes participate in the node merge, edge files are
     * appended verbatim (ref orion/kgx_file_merger.py:164-172).
     *
-    * Secondary/dont_merge node additions go through a second
-    * ordinal-tagged property merge against the primary result — the same
-    * first-truthy-wins fold the primary sources got, in source order
-    * (primary result, then secondary backfills, then dont_merge sources).
-    * An earlier version used dropDuplicates("id"), which keeps an
-    * ARBITRARY row per id: nondeterministic output digests and no
-    * property union, neither of which matches the reference. */
+    * Fidelity details, each matching the reference:
+    *  - The primary node-id set is FROZEN before any secondary source is
+    *    processed (ref kgx_file_merger.py:129-137 computes
+    *    `primary_node_ids` once): a later connected_edge_subset source
+    *    does NOT keep edges merely for touching an earlier secondary's
+    *    backfill nodes.
+    *  - Kept secondary edges route through the edge property merge
+    *    against the primary result (ref kgx_file_merger.py:148-150 calls
+    *    `edge_graph_merger.merge_edge`), so a secondary edge sharing its
+    *    composite key with a primary edge is merged, not duplicated.
+    *    Only dont_merge edges append verbatim.
+    *  - Secondary/dont_merge node additions go through a second
+    *    ordinal-tagged property merge against the primary result — the
+    *    same first-truthy-wins fold the primary sources got, in source
+    *    order (primary result, then secondary backfills, then dont_merge
+    *    sources). An earlier version used dropDuplicates("id"), which
+    *    keeps an ARBITRARY row per id: nondeterministic output digests
+    *    and no property union, neither of which matches the reference.
+    *  - Merge counts include the second-pass node/edge merges (the
+    *    reference's merge metadata records per-source counts). */
   def mergeGraph(primary: Seq[SourceGraph],
                  secondary: Seq[SourceGraph] = Nil,
                  dontMerge: Seq[SourceGraph] = Nil,
                  edgeMergingAttributes: Seq[String] = Nil,
                  counters: Option[MergeEngine.MergeCounters] = None): MergedGraph = {
+    import org.apache.spark.sql.functions.{sum => fsum}
     val base = mergePrimary(primary, edgeMergingAttributes, counters)
-    var edges = base.edges
-    val addedNodeFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var knownIds = base.nodes.select("id")
-    secondary.foreach { sg =>
-      val (addNodes, addEdges) = connectedEdgeSubset(knownIds, sg)
-      addedNodeFrames += addNodes
-      knownIds = knownIds.union(addNodes.select("id")).distinct()
-      edges = edges.unionByName(addEdges, allowMissingColumns = true)
-    }
-    dontMerge.foreach { sg =>
-      addedNodeFrames += sg.nodes
-      edges = edges.unionByName(sg.edges, allowMissingColumns = true)
-    }
-    val nodes =
-      if (addedNodeFrames.isEmpty) base.nodes
+    val primaryIds = base.nodes.select("id")
+    val secondaryParts = secondary.map(sg => connectedEdgeSubset(primaryIds, sg))
+
+    val (edges, secEdgesMerged) =
+      if (secondaryParts.isEmpty) (base.edges, 0L)
       else {
-        val unioned = unionAll(MergeEngine.withOrdinal(base.nodes +: addedNodeFrames.toSeq))
-        MergeEngine.jsonToDf(MergeEngine.mergeNodes(unioned, counters), Some(unioned.schema))
+        val unioned = unionAll(MergeEngine.withOrdinal(base.edges +: secondaryParts.map(_._2)))
+        val me = MergeEngine.mergeEdges(unioned, edgeMergingAttributes, counters).cache()
+        val n = me.agg(fsum("nMerged")).head().getLong(0)
+        (MergeEngine.jsonToDf(me, Some(unioned.schema)), n)
       }
-    base.copy(nodes = nodes, edges = edges)
+    val edgesOut = dontMerge.foldLeft(edges) { (acc, sg) =>
+      acc.unionByName(sg.edges, allowMissingColumns = true)
+    }
+
+    val addedNodeFrames = secondaryParts.map(_._1) ++ dontMerge.map(_.nodes)
+    val (nodes, extraNodesMerged) =
+      if (addedNodeFrames.isEmpty) (base.nodes, 0L)
+      else {
+        val unioned = unionAll(MergeEngine.withOrdinal(base.nodes +: addedNodeFrames))
+        val mn = MergeEngine.mergeNodes(unioned, counters).cache()
+        val n = mn.agg(fsum("nMerged")).head().getLong(0)
+        (MergeEngine.jsonToDf(mn, Some(unioned.schema)), n)
+      }
+    MergedGraph(nodes, edgesOut,
+      base.mergedNodeCount + extraNodesMerged,
+      base.mergedEdgeCount + secEdgesMerged)
   }
 
   /** J5 — remove nodes not referenced by any edge

@@ -343,12 +343,19 @@ object Reactome {
         col("complex_context"))
       .dropDuplicates()
 
+    // Distinct internal Reactome entities commonly share one CURIE (the
+    // same protein in different compartments maps to one UniProt reference
+    // entity) with different names/definitions; dropDuplicates("id") would
+    // keep a partition-dependent row. Pick the survivor deterministically:
+    // lexicographic min over the payload, mirroring ref_curie's min_by.
     val outNodes = withIds
       .select(col("subject").as("id"), col("s_name").as("name"), col("s_cat").as("category"),
         col("s_def").as("definition"), col("s_url").as("url"))
       .union(withIds.select(col("object"), col("o_name"), col("o_cat"),
         col("o_def"), col("o_url")))
-      .dropDuplicates("id")
+      .groupBy(col("id"))
+      .agg(min(struct(col("name"), col("category"), col("definition"), col("url"))).as("p"))
+      .select(col("id"), col("p.name"), col("p.category"), col("p.definition"), col("p.url"))
     ExtractedGraph(outNodes, edges)
   }
 }

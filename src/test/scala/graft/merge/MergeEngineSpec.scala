@@ -151,6 +151,44 @@ class MergeEngineSpec extends SparkSpec {
     assert(addNodes.select("id").as[String].collect().toSet == Set("NODE:3", "NODE:4"))
   }
 
+  test("mergeGraph freezes primary ids, merges secondary edges, counts second pass (kgx_file_merger.py:129-150)") {
+    import spark.implicits._
+    val primNodes = spark.read.json(Seq(
+      """{"id":"NODE:1","name":"one"}""", """{"id":"NODE:2","name":"two"}""").toDS())
+    val primEdges = spark.read.json(Seq(
+      """{"subject":"NODE:1","predicate":"p","object":"NODE:2","primary_knowledge_source":"infores:prim","pubs":["PMID:1"]}""").toDS())
+    // secA: one edge touching the primary set (backfills NODE:3), plus a
+    // duplicate of the primary edge key that must MERGE, not duplicate
+    val secANodes = spark.read.json(Seq(
+      """{"id":"NODE:3","name":"three"}""").toDS())
+    val secAEdges = spark.read.json(Seq(
+      """{"subject":"NODE:2","predicate":"p","object":"NODE:3","primary_knowledge_source":"infores:secA"}""",
+      """{"subject":"NODE:1","predicate":"p","object":"NODE:2","primary_knowledge_source":"infores:prim","pubs":["PMID:2"]}""").toDS())
+    // secB: its only edge touches secA's backfill node NODE:3 but NOT the
+    // primary set — the frozen primary_node_ids must DROP it
+    val secBNodes = spark.read.json(Seq("""{"id":"NODE:4","name":"four"}""").toDS())
+    val secBEdges = spark.read.json(Seq(
+      """{"subject":"NODE:3","predicate":"p","object":"NODE:4","primary_knowledge_source":"infores:secB"}""").toDS())
+    val merged = GraphMerger.mergeGraph(
+      primary = Seq(GraphMerger.SourceGraph("prim", primNodes, primEdges)),
+      secondary = Seq(GraphMerger.SourceGraph("secA", secANodes, secAEdges),
+                      GraphMerger.SourceGraph("secB", secBNodes, secBEdges)))
+    // secB's edge dropped; secA's dup edge merged into the primary edge
+    val edges = merged.edges.select("subject", "object", "primary_knowledge_source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges == Set(("NODE:1", "NODE:2", "infores:prim"), ("NODE:2", "NODE:3", "infores:secA")))
+    // the merged dup edge unions list properties in ordinal order
+    val pubs = merged.edges.filter(col("subject") === "NODE:1")
+      .select("pubs").head().getSeq[String](0)
+    assert(pubs == Seq("PMID:1", "PMID:2"))
+    // nodes: 1,2 primary + 3 backfilled from secA; NODE:4 never enters
+    // (its edge was dropped, and backfill only adds kept-edge endpoints)
+    assert(merged.nodes.select("id").as[String].collect().toSet == Set("NODE:1", "NODE:2", "NODE:3"))
+    // counts cover the second pass: 1 edge pair merged, 0 extra node merges
+    assert(merged.mergedEdgeCount == 1)
+    assert(merged.mergedNodeCount == 0)
+  }
+
   test("remove unconnected nodes (kgx_file_normalizer.py:419-439)") {
     import spark.implicits._
     val nodes = spark.read.json(Seq(
