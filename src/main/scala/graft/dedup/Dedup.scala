@@ -194,6 +194,42 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / Pile convention):
+    * flag corpus documents sharing ≥1 n-token shingle with any benchmark
+    * document, so evaluation data can be scrubbed from training corpora.
+    *
+    * Scale shape: the benchmark side is small by construction (an eval
+    * set, not a corpus) — its distinct fingerprint set is the build side
+    * of a broadcast semi-join. The corpus side streams once: winnowing
+    * fingerprints per doc, exploded, semi-joined, grouped. No corpus
+    * self-join anywhere, so this is linear in corpus size and the only
+    * shuffle is the final per-doc count.
+    *
+    * `window=1` keeps EVERY rolling shingle hash (winnow of a 1-window is
+    * the element itself) — full recall for a single shared n-gram, the
+    * standard decontamination contract, and what the oracle checks.
+    * `window>1` engages real winnowing sub-sampling on BOTH sides: the
+    * corpus explode shrinks ~2/(w+1)× and the guarantee relaxes to shared
+    * runs ≥ n+w-1 tokens (Schleimer et al. SIGMOD 2003) — the knob for a
+    * 100 TB corpus where the exploded full-shingle stream dominates.
+    *
+    * Returns (id, n_matched): flagged corpus docs with their distinct
+    * matched-fingerprint count — a measurement, not just a boolean. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 13, window: Int = 1): DataFrame = {
+    def fps(df: DataFrame): DataFrame = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        winnowingFingerprints(col(textCol), shingleN, window).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val benchFps = fps(benchmark).select("fp").distinct()
+    fps(corpus)
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched")) // fps are distinct per doc already
+  }
+
   /** 64-bit SimHash: sum ±1 per bit over token hashes, sign → bit — one
     * codegen loop (graft.functions.SimHash64) instead of a 64-wide
     * interpreted zip per token. */

@@ -225,9 +225,12 @@ object TextQueries {
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Multi-table LSH ANN, judged in-Spark against the exact brute-force
-    * result: emits (metric, passed) rows the oracle gate can hash — the
-    * whole pipeline is seeded/deterministic, so the thresholds (measured
-    * 0.62 / 0.57 on this corpus) are stable, not flaky. */
+    * result: emits (metric, passed, value) rows the oracle gate can hash —
+    * the whole pipeline is seeded/deterministic, so the measured values
+    * are stable, not flaky. The oracle pins the MEASURED recall per test
+    * corpus (keyed by a content probe, since the corpora differ per scale
+    * factor), so a silent recall drift flips the hash even while the
+    * boolean verdict still passes. */
   private val q37: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 50)
@@ -237,9 +240,28 @@ object TextQueries {
       .orderBy(col("metric"))
   }
 
+  /** The three test corpora share vec_id ranges but differ in content, so
+    * the measured recall is keyed by a content probe (first element of
+    * vec 0): 154694 → sf0.001, 54249 → sf0.01, 19056 → sf0.1. Values
+    * measured by graft.tools.RecallProbe on the seeded deterministic
+    * pipeline — any drift in the candidate generation flips the hash. */
   private val q37Sql =
-    """SELECT 'recall_at_1' AS metric, true AS passed
-       UNION ALL SELECT 'topk_overlap', true ORDER BY metric"""
+    """WITH probe AS (SELECT floor(1e6*abs(embedding[1])) AS p FROM embeddings WHERE vec_id = 0)
+       SELECT 'recall_at_1' AS metric, true AS passed,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.6 WHEN 54249 THEN 0.62 WHEN 19056 THEN 0.66 END)::DOUBLE AS value
+       UNION ALL
+       SELECT 'topk_overlap', true,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.596 WHEN 54249 THEN 0.572 WHEN 19056 THEN 0.572 END)::DOUBLE
+       ORDER BY metric"""
+
+  private val q40Sql =
+    """WITH probe AS (SELECT floor(1e6*abs(embedding[1])) AS p FROM embeddings WHERE vec_id = 0)
+       SELECT 'recall_at_1' AS metric, true AS passed,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.9 WHEN 54249 THEN 0.9 WHEN 19056 THEN 0.9 END)::DOUBLE AS value
+       UNION ALL
+       SELECT 'topk_overlap', true,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.824 WHEN 54249 THEN 0.868 WHEN 19056 THEN 0.872 END)::DOUBLE
+       ORDER BY metric"""
 
   /** Embedding cosine near-dup pairs, exact bounded variant with oracle. */
   private val q38: Q = (s, dir) => {
@@ -326,8 +348,8 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** IVF ANN judged in-Spark against the exact result, same shape as q37
-    * (measured 0.90 / 0.87 at nprobe=5 on this corpus). */
+  /** IVF ANN judged in-Spark against the exact result, same shape as q37:
+    * the oracle pins the measured per-corpus recall values (q40Sql). */
   private val q40: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 50)
@@ -423,8 +445,36 @@ object TextQueries {
        FROM filtered f JOIN keep USING (doc_id) ORDER BY f.doc_id"""
   }
 
+  /** Benchmark decontamination: docs with doc_id % 20 == 0 play the eval
+    * benchmark; the rest are the training corpus. Flag corpus docs sharing
+    * ≥1 13-token shingle with any benchmark doc (the GPT-3/Pile 13-gram
+    * convention), with the matched-fingerprint count pinned per doc. At
+    * window=1 the winnowing fingerprint set is exactly the distinct
+    * rolling 13-gram hashes, so the output is DuckDB-expressible as exact
+    * shingle-string intersection. */
+  private val q50: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 13, window = 1)
+      .select(col("id").as("doc_id"), col("n_matched"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q50Sql =
+    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                     FROM documents WHERE length(trim(text)) > 0),
+       sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+               FOR i IN range(1, greatest(len(w) - 11, 1))])) AS s
+              FROM docs WHERE len(w) >= 13),
+       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+       SELECT doc_id, count(*) AS n_matched
+       FROM sh WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Map[String, Q] = Map(
     "q40_ivf_ann"            -> q40,
+    "q50_decontam"           -> q50,
     "q41_dedup_clusters"     -> q41,
     "q42_curation_pipeline"  -> q42,
     "q30_token_stats"        -> q30,
@@ -452,8 +502,9 @@ object TextQueries {
     "q37_ann_lsh"            -> q37Sql,
     "q38_embedding_neardup"  -> q38Sql,
     "q39_multimodal_stub"    -> q39Sql,
-    "q40_ivf_ann"            -> q37Sql, // same pass/fail contract as q37
+    "q40_ivf_ann"            -> q40Sql,
     "q46_winnowing_dedup"    -> q34Sql, // same exact truth as q34/q35
+    "q50_decontam"           -> q50Sql,
     "q42_curation_pipeline"  -> q42Sql,
   )
 }

@@ -108,9 +108,15 @@ object Similarity {
   }
 
   /** Recall report of an ANN result against the exact top-k result — two
-    * rows (metric, value, passed), hashable by the driver's oracle gate:
+    * rows (metric, passed, value), hashable by the driver's oracle gate:
     * recall@1 = fraction of queries whose ANN top-1 equals the exact
-    * top-1; overlap@k = mean |ANN ∩ exact| / |exact| per query. */
+    * top-1; overlap@k = mean |ANN ∩ exact| / |exact| per query.
+    *
+    * `value` is the MEASURED metric (tie-stable rounded to 4 digits), not
+    * just the pass verdict — the oracle hash pins the number itself, so a
+    * silent recall drift (0.90 → 0.81, still above a 0.8 floor) flips the
+    * gate instead of hiding under a boolean. Both metrics are ratios of
+    * exact integer counts, so the rounding is cross-engine-stable. */
   def recallReport(exact: DataFrame, ann: DataFrame,
                    recall1Min: Double, overlapMin: Double): DataFrame = {
     val e1 = exact.filter(col("rank") === 1)
@@ -119,14 +125,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id").as("_ann1"))
     val recall1 = e1.join(a1, Seq("query_id"), "left")
       .agg(avg(when(col("_ann1") === col("_exact1"), 1.0).otherwise(0.0)).as("v"))
-      .select(lit("recall_at_1").as("metric"), (col("v") >= recall1Min).as("passed"))
+      .select(lit("recall_at_1").as("metric"), (col("v") >= recall1Min).as("passed"),
+        graft.functions.StableRound.tieStableRound(col("v"), 4).as("value"))
     val inter = exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("_hits"))
     val overlap = exact.groupBy(col("query_id")).agg(count(lit(1)).as("_n"))
       .join(inter, Seq("query_id"), "left")
       .agg(avg(coalesce(col("_hits"), lit(0L)).cast("double") / col("_n")).as("v"))
-      .select(lit("topk_overlap").as("metric"), (col("v") >= overlapMin).as("passed"))
+      .select(lit("topk_overlap").as("metric"), (col("v") >= overlapMin).as("passed"),
+        graft.functions.StableRound.tieStableRound(col("v"), 4).as("value"))
     recall1.unionByName(overlap)
   }
 

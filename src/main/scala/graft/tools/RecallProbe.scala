@@ -35,6 +35,16 @@ object RecallProbe {
     stats("ivf_n8_p2", Ivf.topK(queries, emb, index, k = 5, nprobe = 2))
     stats("ivf_n8_p4", Ivf.topK(queries, emb, index, k = 5, nprobe = 4))
     stats("ivf_n8_p5", Ivf.topK(queries, emb, index, k = 5, nprobe = 5))
+
+    // the exact q37/q40 report rows (pinned into the DuckDB oracle constants)
+    println(s"[probe] q37 report rows for $dir:")
+    Similarity.recallReport(exact,
+      Similarity.lshTopK(queries, emb, k = 5, h = 6, tables = 16), 0.5, 0.45)
+      .orderBy(col("metric")).collect().foreach(println)
+    println(s"[probe] q40 report rows for $dir:")
+    Similarity.recallReport(exact,
+      Ivf.topK(queries, emb, index, k = 5, nprobe = 5), 0.8, 0.75)
+      .orderBy(col("metric")).collect().foreach(println)
     spark.stop()
   }
 }

@@ -101,6 +101,38 @@ class DedupSpec extends SparkSpec {
     assert(!keys.contains((4L, 5L)))
   }
 
+  test("decontaminate flags corpus docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the full 5-gram "alpha beta gamma delta epsilon" → flagged
+      (0L, "prefix words alpha beta gamma delta epsilon suffix words"),
+      // shares only a 4-token run → NOT flagged at shingleN=5
+      (1L, "prefix alpha beta gamma delta other suffix trailing pad"),
+      // no overlap
+      (2L, "entirely unrelated content with no benchmark tokens at all"),
+      // shares two distinct 5-grams with bench 101 → n_matched = 2
+      (3L, "one two three four five six intervening one two three four five")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5, window = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_matched")).toMap
+    assert(out.keySet == Set(0L, 3L))
+    assert(out(0L) == 1L)
+    assert(out(3L) == 2L)
+  }
+
+  test("decontaminate window>1 sub-samples but keeps long shared runs") {
+    import spark.implicits._
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val bench = Seq((100L, run)).toDF("doc_id", "text")
+    val corpus = Seq((0L, s"lead tokens $run tail tokens here")).toDF("doc_id", "text")
+    // shared run of 12 tokens ≥ n+w-1 = 5+4-1 = 8 → guaranteed flagged
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 5, window = 4)
+    assert(out.count() == 1)
+  }
+
   test("hot-shingle cap prevents stopword-shingle pair explosion") {
     import spark.implicits._
     // 30 docs sharing one hot shingle, otherwise distinct
