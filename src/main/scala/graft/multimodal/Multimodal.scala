@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side contract — schema, partitioning,
-  * batch iteration shape — is real and tested; the actual codec step is a
-  * clearly-marked deterministic STUB because no image/audio libraries exist
-  * in this container. Swap `decodeStub` for a real decoder (e.g. javacv)
-  * without touching the pipeline shape.
+  * batch iteration shape — is real and tested. The METADATA path is real:
+  * `imageHeader`/`withImageMeta` parse PNG (IHDR) and JPEG (SOFn) headers
+  * with pure-JVM byte slicing, no codec dependency. The pixel-decode step
+  * (`decodeStub`) remains a clearly-marked deterministic STUB because no
+  * image/audio libraries exist in this container — swap it for a real
+  * decoder (e.g. javacv) without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -45,6 +47,51 @@ object Multimodal {
       }
     }
     out
+  }
+
+  /** Real image-header decode: (width, height, codec) from the payload
+    * bytes. PNG: 8-byte signature, then the IHDR chunk's big-endian
+    * width/height at offsets 16/20. JPEG: FF D8 SOI, then a marker walk
+    * skipping segments by their big-endian length until a SOFn frame
+    * header (C0-CF minus C4/C8/CC) yields precision(1) height(2) width(2).
+    * Unrecognized/truncated payloads → None. Pure byte slicing — no
+    * library, no allocation beyond the result. */
+  def imageHeader(payload: Array[Byte]): Option[(Int, Int, String)] = {
+    if (payload == null) return None
+    def be32(o: Int): Int = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+      ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    def be16(o: Int): Int = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (payload.length >= 24 && pngSig.indices.forall(i => (payload(i) & 0xff) == pngSig(i)) &&
+        payload(12) == 'I' && payload(13) == 'H' && payload(14) == 'D' && payload(15) == 'R')
+      return Some((be32(16), be32(20), "png"))
+    if (payload.length >= 4 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 <= payload.length && (payload(i) & 0xff) == 0xff) {
+        val marker = payload(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((be16(i + 7), be16(i + 5), "jpeg"))
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone markers
+        else i += 2 + be16(i + 2) // skip segment by declared length
+      }
+    }
+    None
+  }
+
+  /** Fill meta.width/height/codec from real payload headers where
+    * recognized (PNG/JPEG); unrecognized payloads keep their existing
+    * meta untouched. UDF is appropriate here: a marker walk with early
+    * exit isn't expressible as a Column, and metadata extraction is not
+    * a hot loop (one small header scan per media row). */
+  def withImageMeta(media: DataFrame): DataFrame = {
+    val hdr = udf { payload: Array[Byte] => imageHeader(payload).orNull }
+    media.withColumn("_hdr", hdr(col("payload")))
+      .withColumn("meta", struct(
+        coalesce(col("_hdr._1"), col("meta.width")).as("width"),
+        coalesce(col("_hdr._2"), col("meta.height")).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        coalesce(col("_hdr._3"), col("meta.codec")).as("codec")))
+      .drop("_hdr")
   }
 
   /** Partition-wise feature extraction — the mapInPandas shape: the

@@ -41,6 +41,43 @@ class MultimodalSpec extends SparkSpec {
     assert(b1.size == 100)
   }
 
+  test("imageHeader parses real PNG and JPEG dimensions (ImageIO-written fixtures)") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    assert(Multimodal.imageHeader(imageBytes("png", 5, 3)) == Some((5, 3, "png")))
+    assert(Multimodal.imageHeader(imageBytes("png", 640, 480)) == Some((640, 480, "png")))
+    assert(Multimodal.imageHeader(imageBytes("jpg", 7, 11)) == Some((7, 11, "jpeg")))
+    assert(Multimodal.imageHeader(imageBytes("jpg", 320, 200)) == Some((320, 200, "jpeg")))
+    assert(Multimodal.imageHeader("not an image".getBytes) == None)
+    assert(Multimodal.imageHeader(Array.emptyByteArray) == None)
+    assert(Multimodal.imageHeader(null) == None)
+    // truncated JPEG (SOI only) must not loop or throw
+    assert(Multimodal.imageHeader(Array(0xff.toByte, 0xd8.toByte)) == None)
+  }
+
+  test("withImageMeta fills meta from real headers, keeps stub meta otherwise") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(9, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "image", "plain text payload".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms"),
+        lit("utf8-stub").as("codec")))
+    val out = Multimodal.withImageMeta(rows).select("media_id", "meta.*").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), r.getString(4))).toMap
+    assert(out(1L) == ((Some(9), Some(4), "png")))
+    assert(out(2L) == ((None, None, "utf8-stub")))
+  }
+
   test("resize stub contracts payload and metadata by the factor") {
     val resized = Multimodal.resizeStub(media.filter(col("media_id") === 1L), factor = 2)
     val r = resized.head()
