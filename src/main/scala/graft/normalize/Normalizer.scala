@@ -63,8 +63,15 @@ object Normalizer {
   def nodeMapFromSnapshot(spark: SparkSession, path: String): DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    nodeMapDf(spark, parseNodeNormResponse(root))
+  }
+
+  /** Parse a get_normalized_nodes response object (`{curie: {...} | null}`)
+    * into entries; unresolved (null) curies are omitted. Shared by the
+    * snapshot loader and the live HTTP client. */
+  def parseNodeNormResponse(root: com.fasterxml.jackson.databind.JsonNode): Seq[NodeNormEntry] = {
     import scala.jdk.CollectionConverters._
-    val entries = root.properties().asScala.toSeq.flatMap { e =>
+    root.properties().asScala.toSeq.flatMap { e =>
       val (orig, v) = (e.getKey, e.getValue)
       if (v == null || v.isNull) Nil
       else {
@@ -78,7 +85,77 @@ object Normalizer {
           if (types.nonEmpty) types else Seq(graft.model.Biolink.NamedThing), eids, ic))
       }
     }
-    nodeMapDf(spark, entries)
+  }
+
+  /** Thrown for failures the reference's session retries (connection
+    * errors and status_forcelist codes); anything else fails fast. */
+  final case class RetryableNormFailure(message: String, cause: Throwable = null)
+    extends RuntimeException(message, cause)
+
+  /** N1 — production NodeNorm client: POST `{base}/get_normalized_nodes`
+    * with the reference's exact body shape (orion/normalization.py:134-144:
+    * curies + conflate + drug_chemical_conflate + description) and its
+    * session retry contract (:379-387 — urllib3 Retry(total=5,
+    * backoff_factor=2, status_forcelist=[500,502,503,504,403,429]), so
+    * sleep n = backoff·2^(n-1)). A 200 with an empty body object raises
+    * like NormalizationFailedError (:146-150) and is NOT retried (the
+    * reference's Retry layer only sees status codes). Serializable so
+    * `nodeMapFromService` partitions can carry it; `backoffBaseMs` is
+    * injectable so tests don't wait out the exponential ladder. */
+  final class HttpNodeNorm(baseUrl: String, conflation: Boolean = false,
+                           includeDescription: Boolean = false,
+                           timeoutSeconds: Long = 45, retries: Int = 5,
+                           backoffBaseMs: Long = 2000)
+      extends (Seq[String] => Map[String, NodeNormEntry]) with Serializable {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+    @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val retryStatuses = Set(500, 502, 503, 504, 403, 429)
+
+    private def postOnce(batch: Seq[String]): Map[String, NodeNormEntry] = {
+      val body = mapper.createObjectNode()
+      val arr = body.putArray("curies")
+      batch.foreach(arr.add)
+      body.put("conflate", conflation)
+      body.put("drug_chemical_conflate", conflation)
+      body.put("description", includeDescription)
+      val url = s"${baseUrl.stripSuffix("/")}/get_normalized_nodes"
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("content-type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString)).build()
+      val resp =
+        try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        catch { case e: Exception =>
+          throw RetryableNormFailure(s"Error reaching node norm at $url: $e", e) }
+      resp.statusCode() match {
+        case 200 =>
+          val root = mapper.readTree(resp.body())
+          if (root == null || root.isNull || (root.isObject && root.isEmpty))
+            throw new RuntimeException(
+              s"Node Normalization service $baseUrl returned 200 but with an empty result")
+          parseNodeNormResponse(root).map(e => e.orig_id -> e).toMap
+        case code if retryStatuses(code) =>
+          throw RetryableNormFailure(s"Node norm response code: $code")
+        case code =>
+          throw new RuntimeException(s"Node norm response code: $code")
+      }
+    }
+
+    override def apply(batch: Seq[String]): Map[String, NodeNormEntry] = {
+      var attempt = 0
+      while (attempt <= retries) {
+        try return postOnce(batch)
+        catch {
+          case e: RetryableNormFailure =>
+            attempt += 1
+            if (attempt > retries) throw e
+            val sleep = backoffBaseMs * (1L << (attempt - 1))
+            if (sleep > 0) Thread.sleep(sleep)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   /** N1 — distributed batch normalization against a lookup service.
