@@ -8,13 +8,27 @@ import org.apache.spark.sql.SparkSession
   * GC pause or late JIT/codegen compile can't fabricate a multi-second
   * regression (the round-3 q33 artifact). Min/max land in the JSON for
   * variance auditing. Output: one JSON line.
+  *
+  * Load-proofing (the round-7 artifact was recorded under concurrent
+  * load and read as a phantom 3-4× regression): /proc/loadavg is sampled
+  * before the warm-up and after the last measurement, both land in the
+  * JSON, and `contaminated` is set when either load1 exceeds 1.5× the
+  * CPU count — BASELINE.md floor comparisons must refuse a contaminated
+  * artifact rather than read it as a regression.
   */
 object Bench {
   val iterations = 3
 
+  /** First field of /proc/loadavg (1-minute load), or -1 when absent. */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val loadBefore = load1()
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -58,24 +72,58 @@ object Bench {
         val out = java.nio.file.Files.createTempDirectory("bench-robokop-").toString
         time(graft.pipeline.RobokopBuild.run(spark, fixturesDir, out))
       } catch { case _: Throwable => -1.0 }
-    // fixed-scale dedup throughput (1M synthetic docs through the full
-    // minhash→LSH→connected-components path) so the round artifact carries a
-    // number a judge can diff round-over-round; never throws. Sentinels are
-    // distinct so artifact diffs can tell failure classes apart:
-    // -1.0 = crash/environment, -2.0 = ran but wrong duplicate count.
-    val dedupSmokeSec =
+    // The scale smokes run in a FRESH session: hundreds of prior query
+    // executions leave shuffle files, block-manager state, and pending
+    // ContextCleaner work that contaminate smoke timings by up to 3-4×
+    // (measured: winnow 18 s standalone vs 69 s inside the old shared
+    // session) in ways no in-session GC/drain reliably removes. A fresh
+    // session in the warm JVM keeps JIT/codegen (the part worth keeping)
+    // and drops the debris — smoke numbers then match standalone runs.
+    spark.stop()
+    val smokeSpark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // between smokes, release this session's own debris and let the
+    // cleaner drain before the next timer starts
+    def hygiene(): Unit = {
+      smokeSpark.sharedState.cacheManager.clearCache()
+      (1 to 2).foreach { _ => System.gc(); Thread.sleep(2500) }
+    }
+    // fixed-scale dedup throughput, now as a SCALE CURVE (1M/2M/4M docs
+    // through the full minhash→LSH→connected-components path): the
+    // 100 TB claim rests on sub-quadratic shapes, so the artifact carries
+    // three points, and BASELINE.md pins curve[2] ≤ ~5× curve[0].
+    // Sentinels per point: -1.0 = crash, -2.0 = wrong duplicate count.
+    val dedupCurve = Seq(1000000L, 2000000L, 4000000L).map { n =>
       try {
-        val (secs, dups, expected) = DedupScaleSmoke.run(spark, 1000000L)
+        hygiene()
+        val (secs, dups, expected) = DedupScaleSmoke.run(smokeSpark, n)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
+    }
+    val dedupSmokeSec = dedupCurve.head
     // the winnowing engine over the same 1M docs — result-checked against
     // the same expected duplicate count; same sentinels
     val winnowSmokeSec =
       try {
-        val (secs, dups, expected) = DedupScaleSmoke.runWinnowing(spark, 1000000L)
+        hygiene()
+        val (secs, dups, expected) = DedupScaleSmoke.runWinnowing(smokeSpark, 1000000L)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"winnow_smoke_sec":$winnowSmokeSec,"sf":"$sfDir"}"""
+    // merge envelope: 2×25M overlapping sources (50M input rows — an order
+    // of magnitude past the reference's 10M RESOURCE_HOGS fork,
+    // orion/merging.py:240) through the one production merge path, inside
+    // this JVM's default 8 GiB heap. Result-checked counts; same sentinels.
+    val mergeSmoke =
+      try {
+        hygiene()
+        val n = 25000000L
+        val r = ScaleSmoke.run(smokeSpark, n)
+        val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
+        (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
+      } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
+    val loadAfter = load1()
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSmokeSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"contaminated":$contaminated,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only a tail — persist the full JSON
     // to a file so the committed artifact parses without stdout archaeology
@@ -83,6 +131,6 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    spark.stop()
+    smokeSpark.stop()
   }
 }

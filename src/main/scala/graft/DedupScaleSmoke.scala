@@ -62,12 +62,19 @@ object DedupScaleSmoke {
 
   /** Full minhash near-dup path over n synthetic docs; returns
     * (wall seconds, duplicates found, duplicates expected). Callable from
-    * Bench so the round artifact carries a fixed-scale dedup throughput. */
+    * Bench so the round artifact carries a fixed-scale dedup throughput.
+    *
+    * Band shape (16 bands × 2 rows, k=32 unchanged): the planted near
+    * pairs share 28/30 shingles (j ≈ 0.93), so the per-pair miss is
+    * (1-j²)¹⁶ ≈ 4e-15 — structural at any smoke size. The previous 8×4
+    * shape missed with (1-j⁴)⁸ ≈ 1e-5 per pair: invisible at 1M docs
+    * (100k near pairs) but a guaranteed count mismatch by 2M — exactly
+    * the kind of scale cliff the 1M/2M/4M curve exists to catch. */
   def run(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
     val docs = corpus(spark, n)
     val t0 = System.nanoTime()
     val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 4)
+        shingleN = 3, bands = 16, rowsPerBand = 2)
       .filter(col("estimated_jaccard") >= 0.5)
     val dups = countDups(docs, pairs)
     ((System.nanoTime() - t0) / 1e9, dups, expectedDups(n))

@@ -8,17 +8,25 @@ import graft.merge.MergeEngine
   * DiskGraphMerger; here the same workload runs through the one
   * groupByKey+Aggregator path and Spark's sort-spill shuffle.
   *
-  * Generates 2×6M overlapping synthetic nodes (12M input rows → 9M
-  * distinct ids, 3M property-merged) and reports wall time.
+  * Generates 2×N overlapping synthetic nodes (50% overlap, so 2N input
+  * rows → 1.5N distinct ids, 0.5N property-merged) and reports wall time.
+  * The default CLI run uses 6M per source (the reference's RESOURCE_HOGS
+  * threshold neighborhood, orion/merging.py:240); Bench drives 25M per
+  * source — 50M input rows, an order of magnitude past where the
+  * reference forks to its disk merger — inside the same one-code-path
+  * merge and the default 8 GiB driver heap (well under the reference's
+  * 32-40 GiB helm envelope).
   * Usage: runMain graft.ScaleSmoke [nPerSourceMillions]
   */
 object ScaleSmoke {
-  def main(args: Array[String]): Unit = {
-    val nMill = if (args.nonEmpty) args(0).toInt else 6
-    val n = nMill * 1000000L
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    import spark.implicits._
 
+  final case class MergeSmokeResult(inputRows: Long, distinctIds: Long,
+                                    mergedAway: Long, secs: Double)
+
+  /** Merge 2×n overlapping synthetic node sources through the production
+    * MergeEngine path; returns counts + wall seconds. Callable from Bench
+    * so the round artifact carries the envelope evidence. */
+  def run(spark: org.apache.spark.sql.SparkSession, n: Long): MergeSmokeResult = {
     def source(offset: Long, tag: String) =
       spark.range(n).select(
         concat(lit("NODE:"), col("id") + offset).as("id"),
@@ -36,8 +44,16 @@ object ScaleSmoke {
     val merged = MergeEngine.mergeNodes(unioned)
     val stats = merged.agg(count(lit(1)).as("n"), sum("nMerged").as("merged")).head()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[scale-smoke] input=${2 * n} distinct=${stats.getLong(0)} " +
-      f"merged=${stats.getLong(1)} wall=${secs}%.1f s " +
+    MergeSmokeResult(2 * n, stats.getLong(0), stats.getLong(1), secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nMill = if (args.nonEmpty) args(0).toInt else 6
+    val n = nMill * 1000000L
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val r = run(spark, n)
+    println(f"[scale-smoke] input=${r.inputRows} distinct=${r.distinctIds} " +
+      f"merged=${r.mergedAway} wall=${r.secs}%.1f s " +
       f"heap=${Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
     spark.stop()
   }
