@@ -8,9 +8,11 @@ object SparkEntry {
     queries("q02_region_revenue")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ GraphQueries.defs ++ TextQueries.defs ++ ParserQueries.defs
+    RelationalQueries.defs ++ GraphQueries.defs ++ TextQueries.defs ++
+      ParserQueries.defs ++ SamplingQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++ ParserQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
+      ParserQueries.oracles ++ SamplingQueries.oracles
 }

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.scale.PrefixSum
+
+/** Deterministic corpus sampling for training-data curation:
+  * hash-based train/validation splits and global token-budget cuts.
+  *
+  * Both are content-addressed, not random: re-running the pipeline on
+  * the same corpus (or on the same corpus plus new documents) yields the
+  * same assignment per document — the property a 100 TB incremental
+  * pipeline needs, and one `rand()` cannot give.
+  */
+object Sampling {
+
+  /** First hex nibble of md5(key) — 16 equal-probability buckets, stable
+    * across engines (DuckDB's md5 produces the same lowercase hex). */
+  def md5Nibble(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 1)
+
+  /** Assign 'train' when the nibble falls in the first `trainSixteenths`
+    * hex chars (e.g. 13 → 13/16 ≈ 81% train), else 'val'. Pure
+    * expression — scan-local, no shuffle, no driver state. */
+  def hashSplit(key: Column, trainSixteenths: Int): Column = {
+    require(trainSixteenths > 0 && trainSixteenths < 16,
+      s"trainSixteenths must be in 1..15, got $trainSixteenths")
+    val trainChars = "0123456789abcdef".take(trainSixteenths)
+    when(instr(lit(trainChars), md5Nibble(key)) > 0, lit("train"))
+      .otherwise(lit("val"))
+  }
+
+  /** Keep documents in `orderKey` order while the running sum of
+    * `weightCol` stays within `budget` — the "first N billion tokens"
+    * cut. Runs on the distributed two-level prefix sum
+    * ([[graft.scale.PrefixSum]]), not a single-partition global window. */
+  def budgetSample(df: DataFrame, orderKey: String, weightCol: String,
+                   budget: Column, bucketSize: Long = 1 << 20): DataFrame =
+    PrefixSum.withCumSum(df, orderKey, weightCol, "_cum_weight", bucketSize)
+      .filter(col("_cum_weight") <= budget)
+      .drop("_cum_weight")
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{Pii, TextOps}
+import graft.pipeline.Sampling
+
+/** Corpus-curation operators a training-data pipeline runs before
+  * training: PII scrubbing, deterministic train/val splits, and global
+  * token-budget cuts. All three are fully DuckDB-oracled — the SQL twins
+  * reuse the exact pattern/hash constants so the hashes pin semantics,
+  * not just row counts.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q51 — PII scan + redaction. The synthetic corpus carries no natural
+    * PII, so the scan runs over a deterministically derived contact
+    * header (email + phone + IP built from doc_id) prepended to the real
+    * text: every regex sees real traffic and the redacted length proves
+    * the rewrite happened. Pure codegen'd string expressions. */
+  private def withContact(docs: DataFrame): DataFrame =
+    docs.withColumn("contact",
+      concat(
+        lit("reach user"), col("doc_id").cast("string"),
+        lit(" at user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 100).cast("string"),
+        lit(".example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 :: "), col("text")))
+
+  private val q51: Q = (s, dir) => {
+    withContact(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        Pii.countEmails(col("contact")).cast("int").as("n_emails"),
+        Pii.countPhones(col("contact")).cast("int").as("n_phones"),
+        Pii.countIpv4s(col("contact")).cast("int").as("n_ipv4"),
+        length(Pii.redact(col("contact"))).as("red_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q51Sql = {
+    // literal re-use of Pii's patterns (same Java/RE2-common subset);
+    // DuckDB string literals don't escape backslash, so verbatim is right
+    val email = Pii.emailRe
+    val phone = Pii.phoneRe
+    val ipv4 = Pii.ipv4Re
+    s"""WITH c AS (
+         SELECT doc_id,
+           'reach user' || doc_id || ' at user' || doc_id || '@mail' ||
+           (doc_id % 100) || '.example.com or +1-555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' ip 10.' || (doc_id % 256) || '.0.1 :: ' || text AS contact
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(contact, '$email')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(contact, '$phone')) AS INTEGER) AS n_phones,
+         CAST(len(regexp_extract_all(contact, '$ipv4')) AS INTEGER) AS n_ipv4,
+         CAST(length(regexp_replace(regexp_replace(regexp_replace(contact,
+           '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'),
+           '$ipv4', '[IP]', 'g')) AS INTEGER) AS red_len
+       FROM c ORDER BY doc_id"""
+  }
+
+  /** q52 — deterministic hash split (13/16 ≈ 81% train), stratification
+    * audited per source. Content-addressed md5 assignment: stable under
+    * re-runs and corpus growth, unlike rand(). Scan-local expression +
+    * one small aggregation. */
+  private val q52: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("split", Sampling.hashSplit(col("doc_id"), 13))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q52Sql =
+    """SELECT source,
+         CASE WHEN strpos('0123456789abc', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+              THEN 'train' ELSE 'val' END AS split,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY 1, 2 ORDER BY source, split"""
+
+  /** q53 — global token-budget cut: keep documents in doc_id order until
+    * 60% of the corpus' tokens are spent, then audit the kept set per
+    * source. The running sum is the distributed two-level prefix sum
+    * (graft.scale.PrefixSum) — no single-partition global window; the
+    * DuckDB twin uses the textbook global window, which is exactly the
+    * semantics the distributed construction must reproduce. */
+  private val q53: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+    val budget = math.floor(0.6 *
+      t.agg(sum(col("ntok"))).head().getLong(0)).toLong
+    Sampling.budgetSample(t, "doc_id", "ntok", lit(budget), bucketSize = 256)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q53Sql =
+    """WITH t AS (
+         SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+         FROM documents),
+       b AS (SELECT CAST(floor(0.6 * sum(ntok)) AS BIGINT) AS budget FROM t),
+       c AS (SELECT doc_id, source, ntok,
+               sum(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT source, count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS tokens_kept
+       FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source"""
+
+  val defs: Map[String, Q] = Map(
+    "q51_pii_scrub"    -> q51,
+    "q52_hash_split"   -> q52,
+    "q53_token_budget" -> q53,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_pii_scrub"    -> q51Sql,
+    "q52_hash_split"   -> q52Sql,
+    "q53_token_budget" -> q53Sql,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.scale.PrefixSum
+import graft.text.Pii
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("pii: counts and redaction on crafted text") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a@b.com and c.d-e@f.co.uk now",
+      "call +1-555-0042 or +1-555-9999",
+      "hosts 10.0.0.1 and 192.168.1.255",
+      "clean text with no pii at all").toDF("text")
+    val r = df.select(
+      Pii.countEmails(col("text")).as("e"),
+      Pii.countPhones(col("text")).as("p"),
+      Pii.countIpv4s(col("text")).as("i"),
+      Pii.redact(col("text")).as("red")).collect()
+    assert(r(0).getInt(0) == 2 && r(0).getString(3) == "mail [EMAIL] and [EMAIL] now")
+    assert(r(1).getInt(1) == 2 && r(1).getString(3) == "call [PHONE] or [PHONE]")
+    assert(r(2).getInt(2) == 2 && r(2).getString(3) == "hosts [IP] and [IP]")
+    assert(r(3) == org.apache.spark.sql.Row(0, 0, 0, "clean text with no pii at all"))
+  }
+
+  test("pii: redaction order keeps email hosts out of the ip pattern") {
+    import spark.implicits._
+    // the host contains a dotted numeric run; email redaction must win
+    val red = Seq("x user1@mail42.example.com y").toDF("text")
+      .select(Pii.redact(col("text"))).head().getString(0)
+    assert(red == "x [EMAIL] y")
+  }
+
+  test("hash split: deterministic, exhaustive, and roughly stratified") {
+    import spark.implicits._
+    val df = spark.range(4000).toDF("id")
+    val split = df.select(col("id"), Sampling.hashSplit(col("id"), 13).as("s"))
+    val again = df.select(col("id"), Sampling.hashSplit(col("id"), 13).as("s"))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val"))
+    val frac = counts("train").toDouble / 4000
+    assert(math.abs(frac - 13.0 / 16) < 0.03, s"train fraction $frac")
+  }
+
+  test("prefix sum matches the single-window ground truth across buckets") {
+    import spark.implicits._
+    // keys with gaps so buckets are uneven; values vary
+    val rows = (0L until 1000L).map(i => (i * 3, (i % 7) + 1)).toDF("k", "v")
+    val dist = PrefixSum.withCumSum(rows, "k", "v", "cum", bucketSize = 64)
+    import org.apache.spark.sql.expressions.Window
+    val truth = rows.withColumn("cum",
+      sum(col("v")).over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    assert(dist.select("k", "v", "cum").except(truth).isEmpty)
+    assert(truth.except(dist.select("k", "v", "cum")).isEmpty)
+    // scale shape: the only UNpartitioned window runs over the per-bucket
+    // totals (bucketSize× smaller than the input); the full-input window
+    // is partitioned by bucket, so no window partition exceeds bucketSize
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose collect() doesn't descend into the live plan
+    val windows = dist.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.map(_.name).contains("_psum_total"),
+        s"unpartitioned window over the full input: $w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
+
+  test("budget sample keeps a prefix and respects the budget") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, 10L)).toDF("k", "w")
+    val kept = Sampling.budgetSample(rows, "k", "w", lit(1000L), bucketSize = 32)
+    assert(kept.count() == 100) // 100 rows × weight 10 = exactly the budget
+    assert(kept.agg(max("k")).head().getLong(0) == 99L) // a prefix, not a sample
+  }
+}
