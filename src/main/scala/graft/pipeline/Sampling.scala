@@ -30,6 +30,38 @@ object Sampling {
       .otherwise(lit("val"))
   }
 
+  /** Lowercase hex threshold for a keep-fraction: a key survives when the
+    * first `digits` hex chars of its md5 compare lexicographically below
+    * this string (hex is ordered, so lexicographic = numeric). Fraction
+    * granularity is 16^-digits. Fraction 1.0 maps to "g" — above every
+    * hex prefix, keeps all. */
+  def hexThreshold(fraction: Double, digits: Int = 4): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val buckets = 1L << (4 * digits)
+    val t = math.floor(fraction * buckets).toLong
+    if (t >= buckets) "g"
+    else {
+      val s = java.lang.Long.toHexString(t)
+      ("0" * (digits - s.length)) + s
+    }
+  }
+
+  /** Deterministic per-source mixture sampling: keep a document when its
+    * md5 prefix falls under its source's fraction threshold — the
+    * hash-threshold Bernoulli that hits target mixture proportions
+    * WITHOUT a per-source row_number window (whose partition would be a
+    * whole source: the skew cliff at 100 TB). Scan-local expression;
+    * exact granularity 16^-digits; stable under re-runs and growth. */
+  def mixtureKeep(key: Column, source: Column, fractions: Map[String, Double],
+                  defaultFraction: Double = 1.0, digits: Int = 4): Column = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultFraction, digits))) {
+      case (acc, (s, f)) =>
+        when(source === lit(s), lit(hexThreshold(f, digits))).otherwise(acc)
+    }
+    substring(md5(key.cast("string").cast("binary")), 1, digits) < thr
+  }
+
   /** Keep documents in `orderKey` order while the running sum of
     * `weightCol` stays within `budget` — the "first N billion tokens"
     * cut. Runs on the distributed two-level prefix sum

@@ -116,15 +116,84 @@ object SamplingQueries {
        SELECT source, count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS tokens_kept
        FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source"""
 
+  /** q54 — deterministic source-mixture sampling: per-source keep
+    * fractions via md5-prefix thresholds (hash-threshold Bernoulli), NOT
+    * a row_number window per source (whose partition would be a whole
+    * source — the skew cliff). Fractions cycle 0.8/0.6/0.4/0.2 over the
+    * testdata's src0..src19; unknown sources drop (default 0.0). */
+  private val mixtureFractions: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(0.8, 0.6, 0.4, 0.2)(i % 4)).toMap
+
+  private val q54: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .filter(Sampling.mixtureKeep(col("doc_id"), col("source"),
+        mixtureFractions, defaultFraction = 0.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q54Sql = {
+    val cases = mixtureFractions.toSeq.sortBy(_._1).map { case (src, f) =>
+      s"WHEN source = '$src' THEN '${Sampling.hexThreshold(f)}'"
+    }.mkString(" ")
+    s"""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < CASE $cases ELSE '0000' END
+       GROUP BY source ORDER BY source"""
+  }
+
+  /** q55 — Gopher-style repetition signals per document: most-frequent-
+    * token fraction (explode → two narrow (doc_id, token)-keyed
+    * aggregations — no per-doc window) and duplicate-bigram fraction
+    * (pure array expression). Both tie-stable rounded for the oracle. */
+  private val q55: Q = (s, dir) => {
+    import graft.functions.StableRound
+    val docs = Tables.documents(s, dir).filter(length(trim(col("text"))) > 0)
+    val dup = docs.select(col("doc_id"),
+      TextOps.dupNgramFrac(col("text"), 2).as("rawdup"))
+    val top = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    dup.join(top, Seq("doc_id"))
+      .select(col("doc_id"),
+        StableRound.tieStableRound(col("mx").cast("double") / col("tot"), 4)
+          .as("top_token_frac"),
+        StableRound.tieStableRound(col("rawdup"), 4).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql = {
+    import graft.functions.StableRound
+    val topFrac = StableRound.sql("CAST(mx AS DOUBLE) / tot", 4)
+    val dupFrac = StableRound.sql(
+      """CASE WHEN len(w) < 3 THEN 0.0
+         ELSE 1.0 - CAST(len(list_distinct([array_to_string(w[i:i+1], ' ')
+           FOR i IN range(1, len(w))])) AS DOUBLE) / (len(w) - 1) END""", 4)
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                   FROM documents WHERE length(trim(text)) > 0),
+       tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+       tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
+       bg AS (SELECT doc_id, $dupFrac AS dup_bigram_frac FROM t)
+       SELECT top.doc_id, $topFrac AS top_token_frac, bg.dup_bigram_frac
+       FROM top JOIN bg ON top.doc_id = bg.doc_id ORDER BY top.doc_id"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q51_pii_scrub"    -> q51,
     "q52_hash_split"   -> q52,
     "q53_token_budget" -> q53,
+    "q54_mixture"      -> q54,
+    "q55_repetition"   -> q55,
   )
 
   val oracles: Map[String, String] = Map(
     "q51_pii_scrub"    -> q51Sql,
     "q52_hash_split"   -> q52Sql,
     "q53_token_budget" -> q53Sql,
+    "q54_mixture"      -> q54Sql,
+    "q55_repetition"   -> q55Sql,
   )
 }

@@ -90,4 +90,13 @@ object TextOps {
     * compact fingerprint; k smallest xxhash64 values of the shingle set). */
   def minKSketch(text: Column, n: Int, k: Int): Column =
     slice(array_sort(transform(array_distinct(shingles(text, n)), s => xxhash64(s))), 1, k)
+
+  /** Duplicate word-n-gram fraction (a Gopher-style repetition signal):
+    * 1 - distinct/total n-grams; 0.0 when the doc has < n+1 tokens (a
+    * single n-gram can't repeat). Pure expression — scan-local. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) <= 1, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+  }
 }

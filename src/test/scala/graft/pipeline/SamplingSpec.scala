@@ -73,6 +73,38 @@ class SamplingSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("mixture keep: hex thresholds and per-source fractions") {
+    import spark.implicits._
+    assert(Sampling.hexThreshold(0.0) == "0000")
+    assert(Sampling.hexThreshold(1.0) == "g") // above every hex prefix
+    assert(Sampling.hexThreshold(0.5) == "8000")
+    assert(Sampling.hexThreshold(0.8) == "cccc")
+    val df = spark.range(8000)
+      .select(col("id"), concat(lit("s"), (col("id") % 2).cast("string")).as("src"))
+    val kept = df.filter(Sampling.mixtureKeep(col("id"), col("src"),
+      Map("s0" -> 0.75, "s1" -> 0.25), defaultFraction = 0.0))
+    val by = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(by("s0") / 4000.0 - 0.75) < 0.03, by.toString)
+    assert(math.abs(by("s1") / 4000.0 - 0.25) < 0.03, by.toString)
+    // unknown source with default 0.0 keeps nothing
+    val none = df.withColumn("src", lit("zz")).filter(
+      Sampling.mixtureKeep(col("id"), col("src"), Map("s0" -> 1.0), 0.0))
+    assert(none.count() == 0)
+  }
+
+  test("dup n-gram fraction: repeats, unique, and short docs") {
+    import spark.implicits._
+    import graft.text.TextOps
+    def frac(t: String): Double = Seq(t).toDF("text")
+      .select(TextOps.dupNgramFrac(col("text"), 2)).head().getDouble(0)
+    assert(frac("a b a b a b") == 1.0 - 2.0 / 5) // bigrams: ab,ba,ab,ba,ab
+    assert(frac("a b c d") == 0.0)               // all distinct
+    assert(frac("a b") == 0.0)                   // single bigram
+    assert(frac("a") == 0.0)                     // no bigram
+    assert(frac("") == 0.0)
+  }
+
   test("budget sample keeps a prefix and respects the budget") {
     import spark.implicits._
     val rows = (0L until 500L).map(i => (i, 10L)).toDF("k", "w")
