@@ -71,4 +71,18 @@ object Sampling {
     PrefixSum.withCumSum(df, orderKey, weightCol, "_cum_weight", bucketSize)
       .filter(col("_cum_weight") <= budget)
       .drop("_cum_weight")
+
+  /** Greedy sequence packing: assign each document (in `orderKey` order)
+    * to the fixed-size training bin where its FIRST token lands —
+    * `bin = floor(exclusive_prefix / binTokens)`. Contiguous docs fill a
+    * bin until one spills into the next; the packer never reorders
+    * (padding/splitting policy is the trainer's concern). Adds `binCol`.
+    * Runs on the distributed prefix sum — no global window. */
+  def packBins(df: DataFrame, orderKey: String, weightCol: String,
+               binCol: String, binTokens: Long,
+               bucketSize: Long = 1 << 20): DataFrame =
+    PrefixSum.withCumSum(df, orderKey, weightCol, "_cum_weight", bucketSize)
+      .withColumn(binCol,
+        floor((col("_cum_weight") - col(weightCol)) / lit(binTokens)).cast("long"))
+      .drop("_cum_weight")
 }

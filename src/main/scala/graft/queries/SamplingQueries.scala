@@ -181,12 +181,41 @@ object SamplingQueries {
        FROM top JOIN bg ON top.doc_id = bg.doc_id ORDER BY top.doc_id"""
   }
 
+  /** q56 — sequence packing: docs (doc_id order) assigned to fixed
+    * 512-token training bins by where their first token lands; per-bin
+    * doc/token counts audit the fill. Same distributed prefix sum as
+    * q53; the DuckDB twin is the textbook global window. */
+  private val q56: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("ntok"))
+    Sampling.packBins(t, "doc_id", "ntok", "bin", binTokens = 512, bucketSize = 256)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .orderBy(col("bin"))
+  }
+
+  private val q56Sql =
+    """WITH t AS (
+         SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+         FROM documents),
+       c AS (SELECT doc_id, ntok,
+               sum(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+       SELECT CAST(floor((cum - ntok) / 512) AS BIGINT) AS bin,
+              count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+       FROM c GROUP BY 1 ORDER BY bin"""
+
   val defs: Map[String, Q] = Map(
     "q51_pii_scrub"    -> q51,
     "q52_hash_split"   -> q52,
     "q53_token_budget" -> q53,
     "q54_mixture"      -> q54,
     "q55_repetition"   -> q55,
+    "q56_seq_packing"  -> q56,
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +224,6 @@ object SamplingQueries {
     "q53_token_budget" -> q53Sql,
     "q54_mixture"      -> q54Sql,
     "q55_repetition"   -> q55Sql,
+    "q56_seq_packing"  -> q56Sql,
   )
 }

@@ -97,6 +97,19 @@ object EventStreams {
       .drop("_session_no")
   }
 
+  /** Streaming ingest dedup: drop events whose `keyCols` repeat within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * continuous twin of the dedup plane's exact pass, for feeds where
+    * retries/replays re-deliver rows. State is bounded by the watermark:
+    * a key's fingerprint ages out once event time passes `watermark`
+    * beyond it, so state size tracks the horizon's key cardinality, not
+    * the stream's. */
+  def dedupStream(events: DataFrame, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch replay helper: run a streaming query over a bounded parquet dir
     * through the memory sink and return the result table (used by tests and
     * by Verify-style offline checks). */

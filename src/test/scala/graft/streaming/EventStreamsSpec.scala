@@ -45,6 +45,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions == Set((1L, 2L, 3.0)))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.Event]
+    val deduped = EventStreams.dedupStream(input.toDF(), "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    def ev(id: Long, tMs: Long) =
+      EventStreams.Event(id, new java.sql.Timestamp(tMs), 1L, "click", 1.0)
+    input.addData(ev(1, 1000), ev(2, 2000), ev(1, 1000)) // in-batch duplicate
+    q.processAllAvailable()
+    input.addData(ev(2, 2500), ev(3, 3000)) // cross-batch re-delivery
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionize twin: all sessions incl. open ones") {
     import spark.implicits._
     val df = Seq(
