@@ -72,20 +72,22 @@ object Bench {
         val out = java.nio.file.Files.createTempDirectory("bench-robokop-").toString
         time(graft.pipeline.RobokopBuild.run(spark, fixturesDir, out))
       } catch { case _: Throwable => -1.0 }
-    // The scale smokes run in a FRESH session: hundreds of prior query
-    // executions leave shuffle files, block-manager state, and pending
-    // ContextCleaner work that contaminate smoke timings by up to 3-4×
-    // (measured: winnow 18 s standalone vs 69 s inside the old shared
-    // session) in ways no in-session GC/drain reliably removes. A fresh
-    // session in the warm JVM keeps JIT/codegen (the part worth keeping)
-    // and drops the debris — smoke numbers then match standalone runs.
+    // Every scale smoke runs in its OWN fresh session: prior executions
+    // leave shuffle files, block-manager state, and pending ContextCleaner
+    // work that contaminate later timings by up to 3-4× (measured: winnow
+    // 18 s standalone vs 69 s inside the old shared session; a 2M curve
+    // point slower than the 4M one when curve points shared a session) in
+    // ways no in-session GC/drain reliably removes. A fresh session in
+    // the warm JVM keeps JIT/codegen (the part worth keeping) and drops
+    // the debris — smoke numbers then match standalone runs.
     spark.stop()
-    val smokeSpark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    // between smokes, release this session's own debris and let the
-    // cleaner drain before the next timer starts
-    def hygiene(): Unit = {
-      smokeSpark.sharedState.cacheManager.clearCache()
+    var smokeSpark: SparkSession = null
+    def freshSmokeSession(): SparkSession = {
+      if (smokeSpark != null) smokeSpark.stop()
+      smokeSpark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // let GC + the stopped session's cleanup settle before the timer
       (1 to 2).foreach { _ => System.gc(); Thread.sleep(2500) }
+      smokeSpark
     }
     // fixed-scale dedup throughput, now as a SCALE CURVE (1M/2M/4M docs
     // through the full minhash→LSH→connected-components path): the
@@ -94,8 +96,7 @@ object Bench {
     // Sentinels per point: -1.0 = crash, -2.0 = wrong duplicate count.
     val dedupCurve = Seq(1000000L, 2000000L, 4000000L).map { n =>
       try {
-        hygiene()
-        val (secs, dups, expected) = DedupScaleSmoke.run(smokeSpark, n)
+        val (secs, dups, expected) = DedupScaleSmoke.run(freshSmokeSession(), n)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     }
@@ -104,8 +105,8 @@ object Bench {
     // the same expected duplicate count; same sentinels
     val winnowSmokeSec =
       try {
-        hygiene()
-        val (secs, dups, expected) = DedupScaleSmoke.runWinnowing(smokeSpark, 1000000L)
+        val (secs, dups, expected) =
+          DedupScaleSmoke.runWinnowing(freshSmokeSession(), 1000000L)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     // merge envelope: 2×25M overlapping sources (50M input rows — an order
@@ -114,9 +115,8 @@ object Bench {
     // this JVM's default 8 GiB heap. Result-checked counts; same sentinels.
     val mergeSmoke =
       try {
-        hygiene()
         val n = 25000000L
-        val r = ScaleSmoke.run(smokeSpark, n)
+        val r = ScaleSmoke.run(freshSmokeSession(), n)
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }

@@ -16,6 +16,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no single-partition window over non-aggregated input") {
+    // The 100 TB window cliff: an unpartitioned WindowExec moves EVERY row
+    // through one task. Allowed only when its input has already been
+    // aggregated (e.g. PrefixSum's bucket totals, cardinality-bounded
+    // meta rollups) — i.e. an Aggregate sits between the window and the scan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def aggregateBelow(p: SparkPlan): Boolean =
+      p.collectFirst { case _: BaseAggregateExec => () }.isDefined
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // sparkPlan, not executedPlan: AQE's adaptive root hides children
+        val bad = fn(spark, sf).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !aggregateBelow(w.child) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned full-input windows in: $offenders")
+  }
+
   test("oracle queries and oracle SQL keys line up") {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet
