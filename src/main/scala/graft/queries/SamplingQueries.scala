@@ -209,7 +209,31 @@ object SamplingQueries {
               count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
        FROM c GROUP BY 1 ORDER BY bin"""
 
+  /** q57 — corpus-frequency fluency filter (the CCNet-style LM-quality
+    * stage, relationally): per doc, the fraction of its bigrams occurring
+    * ≥3 times corpus-wide. Integer-exact ratio (not a float log-prob
+    * sum, which is addition-order-dependent and unpinnable). */
+  private val q57: Q = (s, dir) => {
+    graft.text.CorpusStats.commonNgramFrac(
+      Tables.documents(s, dir), "doc_id", "text", n = 2, minCount = 3L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM documents WHERE length(trim(text)) > 0),
+       g AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+               FOR i IN range(1, len(w))]) AS gram
+             FROM t WHERE len(w) >= 2),
+       f AS (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+       SELECT g.doc_id, count(*) AS n_ngrams,
+         floor((CAST(sum(CASE WHEN f.c >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*)) * 10000 + 0.5) / 10000 AS common_frac
+       FROM g JOIN f USING (gram)
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   val defs: Map[String, Q] = Map(
+    "q57_fluency"      -> q57,
     "q51_pii_scrub"    -> q51,
     "q52_hash_split"   -> q52,
     "q53_token_budget" -> q53,
@@ -225,5 +249,6 @@ object SamplingQueries {
     "q54_mixture"      -> q54Sql,
     "q55_repetition"   -> q55Sql,
     "q56_seq_packing"  -> q56Sql,
+    "q57_fluency"      -> q57Sql,
   )
 }
