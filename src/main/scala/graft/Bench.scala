@@ -131,6 +131,6 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    smokeSpark.stop()
+    if (smokeSpark != null) smokeSpark.stop()
   }
 }

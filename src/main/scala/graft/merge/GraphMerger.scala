@@ -12,8 +12,19 @@ object GraphMerger {
   final case class SourceGraph(sourceId: String, nodes: DataFrame, edges: DataFrame,
                                mergeStrategy: String = "default")
 
+  /** Result of a merge. `nodes`/`edges` read from cached merge
+    * intermediates: the count jobs materialize them once, and every
+    * downstream consumer (bundle write, derived graphs) reuses the cache
+    * instead of re-running the merge aggregation. The caches are
+    * LRU-evictable under memory pressure; long-lived sessions doing many
+    * builds should call [[release]] once a graph is fully consumed. */
   final case class MergedGraph(nodes: DataFrame, edges: DataFrame,
-                               mergedNodeCount: Long, mergedEdgeCount: Long)
+                               mergedNodeCount: Long, mergedEdgeCount: Long,
+                               cachedIntermediates: Seq[org.apache.spark.sql.Dataset[_]] = Nil) {
+    /** Unpersist the merge's cached intermediates (recomputation after
+      * this re-runs the merge aggregation). */
+    def release(): Unit = cachedIntermediates.foreach(_.unpersist())
+  }
 
   private def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -33,7 +44,7 @@ object GraphMerger {
     MergedGraph(
       MergeEngine.jsonToDf(mn, Some(nodes.schema)),
       MergeEngine.jsonToDf(me, Some(edges.schema)),
-      nMergedNodes, nMergedEdges)
+      nMergedNodes, nMergedEdges, cachedIntermediates = Seq(mn, me))
   }
 
   /** J4 — connected_edge_subset: keep a secondary source's edges only when
@@ -98,30 +109,31 @@ object GraphMerger {
     val primaryIds = base.nodes.select("id")
     val secondaryParts = secondary.map(sg => connectedEdgeSubset(primaryIds, sg))
 
-    val (edges, secEdgesMerged) =
-      if (secondaryParts.isEmpty) (base.edges, 0L)
+    val (edges, secEdgesMerged, edgeCaches) =
+      if (secondaryParts.isEmpty) (base.edges, 0L, Nil)
       else {
         val unioned = unionAll(MergeEngine.withOrdinal(base.edges +: secondaryParts.map(_._2)))
         val me = MergeEngine.mergeEdges(unioned, edgeMergingAttributes, counters).cache()
         val n = me.agg(fsum("nMerged")).head().getLong(0)
-        (MergeEngine.jsonToDf(me, Some(unioned.schema)), n)
+        (MergeEngine.jsonToDf(me, Some(unioned.schema)), n, Seq(me))
       }
     val edgesOut = dontMerge.foldLeft(edges) { (acc, sg) =>
       acc.unionByName(sg.edges, allowMissingColumns = true)
     }
 
     val addedNodeFrames = secondaryParts.map(_._1) ++ dontMerge.map(_.nodes)
-    val (nodes, extraNodesMerged) =
-      if (addedNodeFrames.isEmpty) (base.nodes, 0L)
+    val (nodes, extraNodesMerged, nodeCaches) =
+      if (addedNodeFrames.isEmpty) (base.nodes, 0L, Nil)
       else {
         val unioned = unionAll(MergeEngine.withOrdinal(base.nodes +: addedNodeFrames))
         val mn = MergeEngine.mergeNodes(unioned, counters).cache()
         val n = mn.agg(fsum("nMerged")).head().getLong(0)
-        (MergeEngine.jsonToDf(mn, Some(unioned.schema)), n)
+        (MergeEngine.jsonToDf(mn, Some(unioned.schema)), n, Seq(mn))
       }
     MergedGraph(nodes, edgesOut,
       base.mergedNodeCount + extraNodesMerged,
-      base.mergedEdgeCount + secEdgesMerged)
+      base.mergedEdgeCount + secEdgesMerged,
+      cachedIntermediates = base.cachedIntermediates ++ edgeCaches ++ nodeCaches)
   }
 
   /** J5 — remove nodes not referenced by any edge

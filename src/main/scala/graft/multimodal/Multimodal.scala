@@ -71,6 +71,8 @@ object Multimodal {
         val marker = payload(i + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           return Some((be16(i + 7), be16(i + 5), "jpeg"))
+        else if (marker == 0xff) i += 1 // spec-legal fill byte (B.1.1.2) before the real marker
+        else if (marker == 0xd9) return None // EOI: no frame header found
         else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone markers
         else i += 2 + be16(i + 2) // skip segment by declared length
       }

@@ -203,6 +203,7 @@ object IngestPipeline {
       dontMerge = graphs("dont_merge"),
       edgeMergingAttributes = spec.edgeMergingAttributes,
       counters = counters)
-    GraphBundle.finalizeBundle(spec, merged.nodes, merged.edges, outDir)
+    try GraphBundle.finalizeBundle(spec, merged.nodes, merged.edges, outDir)
+    finally merged.release() // bundle written — drop the merge caches
   }
 }

@@ -14,20 +14,25 @@ import graft.scale.PrefixSum
   */
 object Sampling {
 
-  /** First hex nibble of md5(key) — 16 equal-probability buckets, stable
-    * across engines (DuckDB's md5 produces the same lowercase hex). */
-  def md5Nibble(key: Column): Column =
-    substring(md5(key.cast("string").cast("binary")), 1, 1)
+  /** First `digits` lowercase hex chars of md5(key) — THE content-
+    * addressing convention every sampler here builds on, identical in
+    * DuckDB (`substring(md5(CAST(k AS VARCHAR)), 1, digits)`), so the
+    * SQL oracles mirror one expression. Hex is ordered, so comparing a
+    * prefix against [[hexThreshold]] is a numeric bucket test. */
+  def md5Prefix(key: Column, digits: Int): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, digits)
+
+  /** First hex nibble of md5(key) — 16 equal-probability buckets. */
+  def md5Nibble(key: Column): Column = md5Prefix(key, 1)
 
   /** Assign 'train' when the nibble falls in the first `trainSixteenths`
-    * hex chars (e.g. 13 → 13/16 ≈ 81% train), else 'val'. Pure
+    * buckets (e.g. 13 → 13/16 ≈ 81% train), else 'val'. Pure
     * expression — scan-local, no shuffle, no driver state. */
   def hashSplit(key: Column, trainSixteenths: Int): Column = {
     require(trainSixteenths > 0 && trainSixteenths < 16,
       s"trainSixteenths must be in 1..15, got $trainSixteenths")
-    val trainChars = "0123456789abcdef".take(trainSixteenths)
-    when(instr(lit(trainChars), md5Nibble(key)) > 0, lit("train"))
-      .otherwise(lit("val"))
+    when(md5Nibble(key) < lit(hexThreshold(trainSixteenths / 16.0, 1)),
+      lit("train")).otherwise(lit("val"))
   }
 
   /** Lowercase hex threshold for a keep-fraction: a key survives when the
@@ -59,7 +64,7 @@ object Sampling {
       case (acc, (s, f)) =>
         when(source === lit(s), lit(hexThreshold(f, digits))).otherwise(acc)
     }
-    substring(md5(key.cast("string").cast("binary")), 1, digits) < thr
+    md5Prefix(key, digits) < thr
   }
 
   /** Keep documents in `orderKey` order while the running sum of

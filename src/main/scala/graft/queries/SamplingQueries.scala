@@ -94,9 +94,13 @@ object SamplingQueries {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-    val budget = math.floor(0.6 *
-      t.agg(sum(col("ntok"))).head().getLong(0)).toLong
-    Sampling.budgetSample(t, "doc_id", "ntok", lit(budget), bucketSize = 256)
+    // the budget scalar rides the plan as a broadcast cross join — no
+    // driver action at construction time, one lazy plan end to end
+    val budget = broadcast(t.agg(
+      floor(lit(0.6) * sum(col("ntok"))).cast("long").as("_budget")))
+    graft.scale.PrefixSum.withCumSum(t, "doc_id", "ntok", "_cum", bucketSize = 256)
+      .crossJoin(budget)
+      .filter(col("_cum") <= col("_budget"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("tokens_kept"))
       .orderBy(col("source"))

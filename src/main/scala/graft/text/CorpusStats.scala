@@ -27,15 +27,23 @@ object CorpusStats {
   def commonNgramFrac(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, minCount: Long): DataFrame = {
     import graft.functions.StableRound
+    // cache the exploded n-grams: both the frequency aggregation and the
+    // join probe side read them — without the cache the dominant
+    // scan+shingle+explode stage runs twice (same idiom as Dedup's
+    // inverted indexes: persist → materialize the small result → release)
     val grams = docs
       .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("_gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_corpus_c"))
-    grams.join(freq, Seq("_gram"))
+    val perDoc = grams.join(freq, Seq("_gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("_corpus_c") >= minCount, 1L).otherwise(0L)).as("_common"))
       .select(col(idCol), col("n_ngrams"),
         StableRound.tieStableRound(
           col("_common").cast("double") / col("n_ngrams"), 4).as("common_frac"))
+    val out = perDoc.localCheckpoint()
+    grams.unpersist()
+    out
   }
 }

@@ -58,6 +58,14 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageHeader(null) == None)
     // truncated JPEG (SOI only) must not loop or throw
     assert(Multimodal.imageHeader(Array(0xff.toByte, 0xd8.toByte)) == None)
+    // spec-legal 0xFF fill bytes before the SOF0 marker (B.1.1.2): the
+    // walk must step over them one at a time, not read them as a segment
+    val filled = Array(0xff, 0xd8, 0xff, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x10, 0x00, 0x20).map(_.toByte)
+    assert(Multimodal.imageHeader(filled) == Some((0x20, 0x10, "jpeg")))
+    // EOI with no frame header terminates cleanly
+    val eoiOnly = Array(0xff, 0xd8, 0xff, 0xd9, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.imageHeader(eoiOnly) == None)
   }
 
   test("withImageMeta fills meta from real headers, keeps stub meta otherwise") {
