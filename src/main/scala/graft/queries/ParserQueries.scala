@@ -115,13 +115,90 @@ object ParserQueries {
        ORDER BY subject, predicate, object"""
   }
 
+  /** S1 — the KGX jsonl scan behind the whole ingest plane, oracled:
+    * KgxIO.readJsonl (per-file schema inference, gz transparency — the
+    * edge file is gzipped) against DuckDB's read_json_auto on the same
+    * checked-in fixture. Joins node names onto edges and flattens the
+    * nested TRAPI sources array, so inferred arrays, structs, doubles,
+    * and absent-field nulls all sit behind the hash. */
+  private val q58: Q = (s, _) => {
+    val nodes = graft.io.KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_nodes.jsonl"))
+    val edges = graft.io.KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_edges.jsonl.gz"))
+    val names = nodes.select(col("id"), col("name"))
+    edges
+      .join(names.withColumnRenamed("id", "subject")
+        .withColumnRenamed("name", "subject_name"), Seq("subject"))
+      .join(names.withColumnRenamed("id", "object")
+        .withColumnRenamed("name", "object_name"), Seq("object"))
+      .select(col("subject"), col("predicate"), col("object"),
+        col("subject_name"), col("object_name"),
+        size(col("sources")).cast("long").as("n_sources"),
+        when(col("publications").isNull, 0L)
+          .otherwise(size(col("publications"))).cast("long").as("n_pubs"),
+        coalesce(col("p_value"), lit(-1.0)).as("p_value"))
+      .orderBy(col("subject"), col("predicate"), col("object"))
+  }
+
+  private val kgxRes = "/root/repo/src/test/resources/kgx"
+
+  private val q58Sql =
+    s"""WITH n AS (SELECT id, name FROM read_json_auto('$kgxRes/sample_nodes.jsonl')),
+       e AS (SELECT * FROM read_json_auto('$kgxRes/sample_edges.jsonl.gz'))
+       SELECT e.subject, e.predicate, e.object,
+              sn.name AS subject_name, obn.name AS object_name,
+              CAST(len(e.sources) AS BIGINT) AS n_sources,
+              CAST(CASE WHEN e.publications IS NULL THEN 0
+                   ELSE len(e.publications) END AS BIGINT) AS n_pubs,
+              CAST(coalesce(e.p_value, -1.0) AS DOUBLE) AS p_value
+       FROM e JOIN n sn ON sn.id = e.subject JOIN n obn ON obn.id = e.object
+       ORDER BY e.subject, e.predicate, e.object"""
+
+  /** S9 — the annotated-VCF scan oracled on a checked-in SnpEff-style
+    * fixture: ANN entries split by ',', fields by '|', effects by '&',
+    * multi-gene ids by '-', effect → predicate via the SO map with
+    * fallback; a no-ANN row must drop. DuckDB re-derives the same edges
+    * with the CASE map generated from the same Scala constant. */
+  private val q59: Q = (s, _) => {
+    val vcf = s.read.option("sep", "\t").option("comment", "#")
+      .schema("CHROM STRING, POS STRING, ID STRING, REF STRING, ALT STRING, " +
+        "QUAL STRING, FILTER STRING, INFO STRING")
+      .csv(s"$kgxRes/annotated_sample.vcf")
+    val (_, edges) = graft.sources.Vcf.annotatedVcfToKgx(vcf)
+    edges.select(col("subject"), col("predicate"), col("object"),
+        col("snpeff_effect"))
+      .orderBy(col("subject"), col("predicate"), col("object"), col("snpeff_effect"))
+  }
+
+  private val q59Sql = {
+    val cases = graft.sources.Vcf.snpEffSoPredicates.toSeq.sortBy(_._1)
+      .map { case (eff, pred) => s"WHEN '$eff' THEN '$pred'" }.mkString(" ")
+    s"""WITH raw AS (
+         SELECT column2 AS id, column7 AS info
+         FROM read_csv('$kgxRes/annotated_sample.vcf', delim='\t',
+                       header=false, skip=3, all_varchar=true)),
+       a AS (SELECT id, unnest(string_split(regexp_extract(info, 'ANN=([^;]*)', 1), ',')) AS entry
+             FROM raw WHERE regexp_extract(info, 'ANN=([^;]*)', 1) <> ''),
+       f AS (SELECT id, string_split(entry, '|') AS fl FROM a),
+       ef AS (SELECT id, unnest(string_split(fl[2], '&')) AS effect, fl[5] AS genes FROM f),
+       g AS (SELECT id, effect, unnest(string_split(genes, '-')) AS gene FROM ef)
+       SELECT id AS subject,
+              CASE effect $cases
+                ELSE '${graft.sources.Vcf.fallbackPredicate}' END AS predicate,
+              'ENSEMBL:' || gene AS object, effect AS snpeff_effect
+       FROM g ORDER BY subject, predicate, object, snpeff_effect"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q43_hgnc_parse"      -> q43,
     "q44_ctd_chem_gene"   -> q44,
-    "q45_ubergraph_parse" -> q45)
+    "q45_ubergraph_parse" -> q45,
+    "q58_kgx_jsonl_scan"  -> q58,
+    "q59_vcf_scan"        -> q59)
 
   val oracles: Map[String, String] = Map(
     "q43_hgnc_parse"      -> q43Sql,
     "q44_ctd_chem_gene"   -> q44Sql,
-    "q45_ubergraph_parse" -> q45Sql)
+    "q45_ubergraph_parse" -> q45Sql,
+    "q58_kgx_jsonl_scan"  -> q58Sql,
+    "q59_vcf_scan"        -> q59Sql)
 }
