@@ -65,6 +65,18 @@ object Hgvs {
     s"$refChrom:g.$variation"
   }
 
+  /** DuckDB CASE expression mapping (genomeCol, chromNumCol) → RefSeq
+    * accession, generated from the same maps `convert` uses so the q60
+    * oracle cannot drift from the Scala tables. NULL for unknown
+    * builds/chromosomes (the reject path). */
+  def accessionSqlCase(genomeCol: String, chromCol: String): String = {
+    def caseFor(m: Map[Int, String]): String =
+      s"CASE $chromCol " + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ") + " END"
+    s"CASE WHEN $genomeCol = 'b37' THEN ${caseFor(b37)} " +
+      s"WHEN $genomeCol IN ('b38', 'GRCh38') THEN ${caseFor(b38)} END"
+  }
+
   /** UDF form for parser pipelines (hot-path candidate for a codegen
     * Expression if profiling demands — SURVEY §2.10). */
   val hgvsUdf: UserDefinedFunction =

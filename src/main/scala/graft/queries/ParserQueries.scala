@@ -188,17 +188,90 @@ object ParserQueries {
        FROM g ORDER BY subject, predicate, object, snpeff_effect"""
   }
 
+  /** P6 — HGVS conversion oracled: deterministic variants derived from
+    * doc_id cover every branch (SNV, ins, single/multi del, '.'-allele
+    * dels, symbolic-allele reject, non-numeric chromosome reject,
+    * unsupported genome reject, X/Y). The DuckDB twin re-implements the
+    * conversion in SQL with the accession CASE generated from the same
+    * Scala maps ([[graft.functions.Hgvs.accessionSqlCase]]). */
+  private val q60: Q = (s, dir) => {
+    import graft.functions.Hgvs
+    val m = col("doc_id") % 27
+    val a = col("doc_id") % 7
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(m === 0, "X").when(m === 1, "Y").when(m === 2, "Z")
+          .otherwise((m - 2).cast("string")).as("chromosome"),
+        (lit(1000L) + col("doc_id")).as("position"),
+        when(a === 0, "A").when(a === 1, "AT").when(a === 2, "ATGC")
+          .when(a === 3, "AT").when(a === 4, "A").when(a === 5, "ATG")
+          .otherwise("AT").as("ref_allele"),
+        when(col("doc_id") % 11 === 0, "<DEL>")
+          .when(a === 0, "G").when(a === 1, "ATGC").when(a === 2, "AT")
+          .when(a === 3, "A").when(a === 4, ".").when(a === 5, ".")
+          .otherwise("GC").as("alt_allele"),
+        when(col("doc_id") % 4 === 0, "b37").when(col("doc_id") % 4 === 1, "b38")
+          .when(col("doc_id") % 4 === 2, "GRCh38").otherwise("hg19").as("genome"))
+      .select(col("doc_id"),
+        Hgvs.hgvsUdf(col("chromosome"), col("position"),
+          col("ref_allele"), col("alt_allele"), col("genome")).as("hgvs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q60Sql = {
+    val acc = graft.functions.Hgvs.accessionSqlCase("genome", "chrom_num")
+    s"""WITH v AS (
+         SELECT doc_id,
+           CASE doc_id % 27 WHEN 0 THEN 'X' WHEN 1 THEN 'Y' WHEN 2 THEN 'Z'
+                ELSE CAST(doc_id % 27 - 2 AS VARCHAR) END AS chromosome,
+           1000 + doc_id AS position,
+           CASE doc_id % 7 WHEN 0 THEN 'A' WHEN 1 THEN 'AT' WHEN 2 THEN 'ATGC'
+                WHEN 3 THEN 'AT' WHEN 4 THEN 'A' WHEN 5 THEN 'ATG'
+                ELSE 'AT' END AS ref_allele,
+           CASE WHEN doc_id % 11 = 0 THEN '<DEL>' ELSE
+             CASE doc_id % 7 WHEN 0 THEN 'G' WHEN 1 THEN 'ATGC' WHEN 2 THEN 'AT'
+                  WHEN 3 THEN 'A' WHEN 4 THEN '.' WHEN 5 THEN '.'
+                  ELSE 'GC' END END AS alt_allele,
+           CASE doc_id % 4 WHEN 0 THEN 'b37' WHEN 1 THEN 'b38'
+                WHEN 2 THEN 'GRCh38' ELSE 'hg19' END AS genome
+         FROM documents),
+       c AS (
+         SELECT *, CASE chromosome WHEN 'X' THEN 23 WHEN 'Y' THEN 24
+                     ELSE TRY_CAST(chromosome AS INTEGER) END AS chrom_num,
+                length(ref_allele) AS lr, length(alt_allele) AS la
+         FROM v),
+       r AS (SELECT *, $acc AS ref_chrom FROM c)
+       SELECT doc_id,
+         CASE
+           WHEN chrom_num IS NULL OR ref_chrom IS NULL THEN ''
+           WHEN alt_allele LIKE '<%' THEN ''
+           WHEN alt_allele = '.' AND lr = 1 THEN ref_chrom || ':g.' || position || 'del'
+           WHEN alt_allele = '.' THEN ref_chrom || ':g.' || position || '_' || (position + lr - 1) || 'del'
+           WHEN lr = 1 AND la = 1 THEN ref_chrom || ':g.' || position || ref_allele || '>' || alt_allele
+           WHEN la > lr AND alt_allele LIKE ref_allele || '%'
+             THEN ref_chrom || ':g.' || (position + lr - 1) || '_' || (position + lr)
+                  || 'ins' || substring(alt_allele, lr + 1)
+           WHEN lr > la AND ref_allele LIKE alt_allele || '%' AND lr - la = 1
+             THEN ref_chrom || ':g.' || (position + la) || 'del'
+           WHEN lr > la AND ref_allele LIKE alt_allele || '%'
+             THEN ref_chrom || ':g.' || (position + la) || '_' || (position + lr - 1) || 'del'
+           ELSE '' END AS hgvs
+       FROM r ORDER BY doc_id"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q43_hgnc_parse"      -> q43,
     "q44_ctd_chem_gene"   -> q44,
     "q45_ubergraph_parse" -> q45,
     "q58_kgx_jsonl_scan"  -> q58,
-    "q59_vcf_scan"        -> q59)
+    "q59_vcf_scan"        -> q59,
+    "q60_hgvs"            -> q60)
 
   val oracles: Map[String, String] = Map(
     "q43_hgnc_parse"      -> q43Sql,
     "q44_ctd_chem_gene"   -> q44Sql,
     "q45_ubergraph_parse" -> q45Sql,
     "q58_kgx_jsonl_scan"  -> q58Sql,
-    "q59_vcf_scan"        -> q59Sql)
+    "q59_vcf_scan"        -> q59Sql,
+    "q60_hgvs"            -> q60Sql)
 }
