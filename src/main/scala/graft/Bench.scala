@@ -72,6 +72,25 @@ object Bench {
         val out = java.nio.file.Files.createTempDirectory("bench-robokop-").toString
         time(graft.pipeline.RobokopBuild.run(spark, fixturesDir, out))
       } catch { case _: Throwable => -1.0 }
+    // Artifact insurance: the scale smokes below add ~6-10 minutes. If an
+    // external timeout kills the run mid-smoke, the query measurements
+    // must not die with it — persist a partial artifact now (smoke fields
+    // carry sentinel -3.0 = "not reached"), overwritten by the full JSON
+    // at the end.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    def emitJson(dedupCurve: Seq[Double], winnowSec: Double,
+                 mergeSmoke: (Double, Long, Long, Long),
+                 loadAfter: Double, partial: Boolean): String = {
+      val cpus = Runtime.getRuntime.availableProcessors()
+      val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+    }
+    def writeArtifact(json: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, (-3.0, 0L, 0L, 0L),
+      load1(), partial = true))
     // Every scale smoke runs in its OWN fresh session: prior executions
     // leave shuffle files, block-manager state, and pending ContextCleaner
     // work that contaminate later timings by up to 3-4× (measured: winnow
@@ -100,7 +119,6 @@ object Bench {
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     }
-    val dedupSmokeSec = dedupCurve.head
     // the winnowing engine over the same 1M docs — result-checked against
     // the same expected duplicate count; same sentinels
     val winnowSmokeSec =
@@ -120,17 +138,12 @@ object Bench {
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
-    val loadAfter = load1()
-    val cpus = Runtime.getRuntime.availableProcessors()
-    val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":$dedupSmokeSec,"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSmokeSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"contaminated":$contaminated,"sf":"$sfDir"}"""
+    val json = emitJson(dedupCurve, winnowSmokeSec, mergeSmoke,
+      load1(), partial = false)
     println(json)
-    // the driver's stdout capture keeps only a tail — persist the full JSON
-    // to a file so the committed artifact parses without stdout archaeology
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // the driver's stdout capture keeps only a tail — the file is the
+    // canonical artifact (overwrites the pre-smoke partial write)
+    writeArtifact(json)
     if (smokeSpark != null) smokeSpark.stop()
   }
 }
