@@ -77,6 +77,22 @@ object Sampling {
       .filter(col("_cum_weight") <= budget)
       .drop("_cum_weight")
 
+  /** [[budgetSample]] with the budget as a FRACTION of the total weight
+    * ("keep the first 60% of the corpus' tokens"). The scalar rides the
+    * plan as a broadcast cross join — constructing the DataFrame runs no
+    * driver action; the whole cut is one lazy plan. */
+  def budgetSampleFraction(df: DataFrame, orderKey: String, weightCol: String,
+                           fraction: Double,
+                           bucketSize: Long = 1 << 20): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val budget = broadcast(df.agg(
+      floor(lit(fraction) * sum(col(weightCol))).cast("long").as("_budget")))
+    PrefixSum.withCumSum(df, orderKey, weightCol, "_cum_weight", bucketSize)
+      .crossJoin(budget)
+      .filter(col("_cum_weight") <= col("_budget"))
+      .drop("_cum_weight", "_budget")
+  }
+
   /** Greedy sequence packing: assign each document (in `orderKey` order)
     * to the fixed-size training bin where its FIRST token lands —
     * `bin = floor(exclusive_prefix / binTokens)`. Contiguous docs fill a

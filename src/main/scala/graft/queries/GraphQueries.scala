@@ -421,6 +421,10 @@ object GraphQueries {
     val merged = GraphMerger.mergeGraph(
       primary = Seq(GraphMerger.SourceGraph("prim", primNodes, primEdges)),
       dontMerge = Seq(GraphMerger.SourceGraph("dm", dmNodes, dmEdges)))
+    // a query has no post-consumption hook: drop the merge caches now so
+    // repeated invocations (Verify, specs) don't accumulate pinned blocks;
+    // downstream consumption recomputes the (fixture-sized) merge lazily
+    merged.release()
     merged.nodes.select(lit("node").as("kind"), col("id").as("a"), col("name").as("b"))
       .unionByName(merged.edges.select(lit("edge").as("kind"),
         concat_ws("|", col("subject"), col("object")).as("a"),

@@ -94,13 +94,7 @@ object SamplingQueries {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("ntok"))
-    // the budget scalar rides the plan as a broadcast cross join — no
-    // driver action at construction time, one lazy plan end to end
-    val budget = broadcast(t.agg(
-      floor(lit(0.6) * sum(col("ntok"))).cast("long").as("_budget")))
-    graft.scale.PrefixSum.withCumSum(t, "doc_id", "ntok", "_cum", bucketSize = 256)
-      .crossJoin(budget)
-      .filter(col("_cum") <= col("_budget"))
+    Sampling.budgetSampleFraction(t, "doc_id", "ntok", 0.6, bucketSize = 256)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("tokens_kept"))
       .orderBy(col("source"))

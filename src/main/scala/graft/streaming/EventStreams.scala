@@ -105,9 +105,9 @@ object EventStreams {
     * beyond it, so state size tracks the horizon's key cardinality, not
     * the stream's. */
   def dedupStream(events: DataFrame, watermark: String,
-                  keyCols: Seq[String]): DataFrame =
+                  keyCols: Seq[String], tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Batch replay helper: run a streaming query over a bounded parquet dir

@@ -27,23 +27,23 @@ object CorpusStats {
   def commonNgramFrac(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, minCount: Long): DataFrame = {
     import graft.functions.StableRound
-    // cache the exploded n-grams: both the frequency aggregation and the
-    // join probe side read them — without the cache the dominant
-    // scan+shingle+explode stage runs twice (same idiom as Dedup's
-    // inverted indexes: persist → materialize the small result → release)
+    // Lazy and plan-transparent on purpose: the exploded n-grams feed two
+    // branches (the frequency aggregation and the join probe), so the
+    // scan+shingle+explode stage runs twice. An in-operator persist or
+    // localCheckpoint would halve that, but it either pins storage with
+    // no release point (persist) or truncates the plan into an RDD scan
+    // that blinds the surface-wide PlanGuardSpec asserts AND makes the
+    // operator eager (localCheckpoint). At scale, persist `docs` (or the
+    // exploded grams) at the CALL site where the lifecycle is knowable.
     val grams = docs
       .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("_gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_corpus_c"))
-    val perDoc = grams.join(freq, Seq("_gram"))
+    grams.join(freq, Seq("_gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("_corpus_c") >= minCount, 1L).otherwise(0L)).as("_common"))
       .select(col(idCol), col("n_ngrams"),
         StableRound.tieStableRound(
           col("_common").cast("double") / col("n_ngrams"), 4).as("common_frac"))
-    val out = perDoc.localCheckpoint()
-    grams.unpersist()
-    out
   }
 }

@@ -24,8 +24,17 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
-    def aggregateBelow(p: SparkPlan): Boolean =
-      p.collectFirst { case _: BaseAggregateExec => () }.isDefined
+    // Walk DOWN through single-child nodes only (project/sort/exchange):
+    // the window's direct input must BE an aggregate. A collectFirst over
+    // the whole subtree would also accept an aggregate on a join's far
+    // branch (e.g. a broadcast scalar), wrongly blessing a full-input
+    // global window above that join.
+    @scala.annotation.tailrec
+    def aggregateBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case u if u.children.size == 1 => aggregateBelow(u.children.head)
+      case _ => false
+    }
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sparkPlan, not executedPlan: AQE's adaptive root hides children
