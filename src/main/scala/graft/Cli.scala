@@ -18,6 +18,7 @@ import graft.pipeline.{GraphBundle, GraphSpec}
   *   graft.Cli ac <nodes.jsonl> <edges.jsonl> <outDir>
   *   graft.Cli neo4j-csv <nodes.jsonl> <edges.jsonl> <outDir>
   *   graft.Cli memgraph-csv <nodes.jsonl> <edges.jsonl> <outDir>
+  *   graft.Cli curate <documents.parquet> <outDir>
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -73,6 +74,20 @@ object Cli {
       KgxIO.writeJsonl(g.edges, s"$out/source_edges.jsonl", dedupKeys = Nil)
     case "sources" =>
       println(graft.parsers.Registry.all.keys.toSeq.sorted.mkString("\n"))
+    case "curate" =>
+      // training-data front door: curate <documents.parquet> <outDir>
+      // PII-redact, score, language-ID, token-count, deterministic
+      // train/val split; written partitioned by split for direct loading
+      import org.apache.spark.sql.functions._
+      import graft.text.{Pii, TextOps}
+      val Array(_, docsPath, out) = args
+      spark.read.parquet(docsPath)
+        .withColumn("text", Pii.redact(col("text")))
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("detected_lang", TextOps.langId(col("text")))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("split", graft.pipeline.Sampling.hashSplit(col("doc_id"), 13))
+        .write.mode("overwrite").partitionBy("split").parquet(out)
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }

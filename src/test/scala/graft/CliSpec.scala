@@ -13,6 +13,25 @@ class CliSpec extends SparkSpec {
     assert(nodes.count() == 7 && edges.count() == 4)
   }
 
+  test("curate command redacts, scores, splits, and partitions by split") {
+    val out = Files.createTempDirectory("cli-curate-").toString
+    Cli.run(spark, Array("curate", s"$sf/documents.parquet", out))
+    val curated = spark.read.parquet(out)
+    import org.apache.spark.sql.functions._
+    assert(curated.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(curated.columns.toSet.contains("quality") &&
+      curated.columns.toSet.contains("detected_lang") &&
+      curated.columns.toSet.contains("n_tokens") &&
+      curated.columns.toSet.contains("split"))
+    val splits = curated.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val")) && splits.contains("train"))
+    // partitioned layout: split=... directories on disk
+    assert(Files.list(Paths.get(out)).toArray.map(_.toString)
+      .exists(_.contains("split=train")))
+  }
+
   test("unknown source and unknown command both fail clearly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Array("parse", "NotASource", "/tmp", "/tmp/out"))

@@ -112,4 +112,18 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == 100) // 100 rows × weight 10 = exactly the budget
     assert(kept.agg(max("k")).head().getLong(0) == 99L) // a prefix, not a sample
   }
+
+  test("fraction budget sample: lazy construction, correct cut") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, 5L)).toDF("k", "w")
+    val kept = Sampling.budgetSampleFraction(rows, "k", "w", 0.25, bucketSize = 64)
+    // total weight 2000, budget 500 -> first 100 rows
+    assert(kept.count() == 100)
+    assert(kept.agg(max("k")).head().getLong(0) == 99L)
+    // construction must not run a job: the plan carries a broadcast join
+    // of the budget scalar rather than a precomputed literal
+    val plan = kept.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"budget scalar not joined lazily:\n$plan")
+  }
 }
