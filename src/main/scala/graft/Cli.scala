@@ -81,11 +81,14 @@ object Cli {
       import org.apache.spark.sql.functions._
       import graft.text.{Pii, TextOps}
       val Array(_, docsPath, out) = args
+      // metrics are computed over the ORIGINAL text — [EMAIL]/[PHONE]
+      // placeholders would skew punct ratios and token counts — and only
+      // then is the text column replaced by its redacted form
       spark.read.parquet(docsPath)
-        .withColumn("text", Pii.redact(col("text")))
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .withColumn("detected_lang", TextOps.langId(col("text")))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("text", Pii.redact(col("text")))
         .withColumn("split", graft.pipeline.Sampling.hashSplit(col("doc_id"), 13))
         .write.mode("overwrite").partitionBy("split").parquet(out)
     case other =>

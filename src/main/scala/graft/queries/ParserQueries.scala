@@ -139,7 +139,11 @@ object ParserQueries {
       .orderBy(col("subject"), col("predicate"), col("object"))
   }
 
-  private val kgxRes = "/root/repo/src/test/resources/kgx"
+  // resolved from the working directory (or SPARK_GRAFT_KGX_FIXTURES) at
+  // class-load, so the query surface and its DuckDB oracle — which embeds
+  // this same absolute path — survive a checkout anywhere
+  private val kgxRes = sys.env.getOrElse("SPARK_GRAFT_KGX_FIXTURES",
+    new java.io.File("src/test/resources/kgx").getAbsolutePath)
 
   private val q58Sql =
     s"""WITH n AS (SELECT id, name FROM read_json_auto('$kgxRes/sample_nodes.jsonl')),

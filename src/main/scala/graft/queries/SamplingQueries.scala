@@ -106,7 +106,7 @@ object SamplingQueries {
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
          FROM documents),
-       b AS (SELECT CAST(floor(0.6 * sum(ntok)) AS BIGINT) AS budget FROM t),
+       b AS (SELECT CAST(floor(0.6 * CAST(sum(ntok) AS DOUBLE)) AS BIGINT) AS budget FROM t),
        c AS (SELECT doc_id, source, ntok,
                sum(ntok) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
