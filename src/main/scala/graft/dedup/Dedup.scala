@@ -218,16 +218,66 @@ object Dedup {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
                     shingleN: Int = 13, window: Int = 1): DataFrame = {
-    def fps(df: DataFrame): DataFrame = graft.scale.Skew.ensureParallelism(df)
+    val benchFps = fingerprintStream(benchmark, idCol, textCol, shingleN, window)
+      .select("fp").distinct()
+    fingerprintStream(corpus, idCol, textCol, shingleN, window)
+      .join(broadcast(benchFps), Seq("fp"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched")) // fps are distinct per doc already
+  }
+
+  /** (id, fp) exploded winnowing-fingerprint stream — shared by the
+    * decontamination paths. */
+  private def fingerprintStream(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, window: Int): DataFrame =
+    graft.scale.Skew.ensureParallelism(df)
       .select(col(idCol).as("id"),
         winnowingFingerprints(col(textCol), shingleN, window).as("fps"))
       .filter(size(col("fps")) > 0)
       .select(col("id"), explode(col("fps")).as("fp"))
-    val benchFps = fps(benchmark).select("fp").distinct()
-    fps(corpus)
-      .join(broadcast(benchFps), Seq("fp"), "left_semi")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_matched")) // fps are distinct per doc already
+
+  /** Bloom-prefiltered decontamination — result-identical to
+    * `decontaminate` (the exact semi-join still verifies every survivor,
+    * killing the sketch's false positives), but the corpus fingerprint
+    * stream is cut down by a broadcast Bloom filter BEFORE it reaches the
+    * verify join.
+    *
+    * Why it matters at 100 TB: `decontaminate` broadcasts the exact
+    * benchmark fingerprint SET (8 B × |bench fps| per executor, plus a
+    * hashed relation) and feeds the whole corpus stream into the join. A
+    * Bloom filter at 1% fpp is ~1.2 B per item — ~7× smaller than the
+    * exact set — and its `mightContain` runs inside the scan stage, so
+    * ~99% of corpus fingerprints die before the exchange. The join then
+    * verifies only true matches + the 1% false positives. For a 10⁸-
+    * fingerprint benchmark suite the sketch is ~120 MB (broadcastable)
+    * where the exact set would be ≥800 MB.
+    *
+    * The filter itself is built with Spark's own
+    * DataFrameStatFunctions.bloomFilter (one distributed aggregation).
+    * The membership probe is a scalar UDF — acceptable here because a
+    * Bloom probe is a black-box bit test no Catalyst expression provides,
+    * and it sits in front of (not instead of) the codegen'd verify join. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 13, window: Int = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchFps = fingerprintStream(benchmark, idCol, textCol, shingleN, window)
+      .select("fp").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBench = benchFps.count() // sizes the sketch; also materializes the cache
+      val bloom = benchFps.stat.bloomFilter("fp", math.max(nBench, 1L), fpp)
+      val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+      fingerprintStream(corpus, idCol, textCol, shingleN, window)
+        .filter(mightContain(col("fp")))
+        .join(broadcast(benchFps), Seq("fp"), "left_semi")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_matched"))
+        // cut lineage before unpersist: the result must not silently
+        // recompute through a dropped cache
+        .localCheckpoint()
+    } finally benchFps.unpersist()
   }
 
   /** 64-bit SimHash: sum ±1 per bit over token hashes, sign → bit — one

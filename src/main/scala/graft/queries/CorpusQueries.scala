@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.{Quantize, SemDedup}
+
+/** Round-9 corpus operators: semantic dedup (SemDeDup), TF-IDF keyword
+  * weighting, scalar-quantized ANN, and Bloom-prefiltered benchmark
+  * decontamination. */
+object CorpusQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q61 — SemDeDup (cluster-pruned embedding dedup) judged against the
+    * exact all-pairs truth, pinned-measurement oracle (q37/q40 shape).
+    * τ=0.35 keeps the duplicate graph sparse-but-real on the synthetic
+    * embeddings (hundreds of pairs, not an all-connected blob). */
+  private val q61: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val sem = SemDedup.semDedup(emb, tau = 0.35, nlist = 8)
+    val exact = SemDedup.exactDedup(emb, tau = 0.35)
+    SemDedup.agreementReport(sem, exact, recallMin = 0.5)
+      .orderBy(col("metric"))
+  }
+
+  /** The three test corpora share vec_id ranges but differ in content —
+    * measured values keyed by the same content probe as q37/q40
+    * (floor(1e6·|embedding[1]|) of vec 0: 154694 → sf0.001, 54249 →
+    * sf0.01, 19056 → sf0.1). Values measured on the seeded deterministic
+    * pipeline; any drift in clustering or components flips the hash. */
+  private val q61Sql =
+    """WITH probe AS (SELECT floor(1e6*abs(embedding[1])) AS p FROM embeddings WHERE vec_id = 0)
+       SELECT 'exact_dup_count' AS metric, true AS passed,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 252.0 WHEN 54249 THEN 263.0 WHEN 19056 THEN 1963.0 END)::DOUBLE AS value
+       UNION ALL
+       SELECT 'semdedup_dup_count', true,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 194.0 WHEN 54249 THEN 206.0 WHEN 19056 THEN 1886.0 END)::DOUBLE
+       UNION ALL
+       SELECT 'semdedup_dup_recall', true,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.7698 WHEN 54249 THEN 0.7833 WHEN 19056 THEN 0.9608 END)::DOUBLE
+       ORDER BY metric"""
+
+  /** q62 — per-document top-3 TF-IDF terms, full SQL oracle (wordcount
+    * shape: explode → two map-combined groupBys → vocab-sized join). */
+  private val q62: Q = (s, dir) =>
+    graft.text.Tfidf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q62Sql =
+    """WITH w AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> len(x) > 0)) AS word
+         FROM documents),
+       tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+       df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents),
+       scored AS (
+         SELECT t.doc_id, t.word, t.tf, d.df,
+                floor(t.tf * ln(CAST(n.n AS DOUBLE) / d.df) * 1000000 + 0.5) / 1000000 AS score
+         FROM tf t JOIN df d USING (word), n),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, word ASC) AS INTEGER) AS rank
+         FROM scored)
+       SELECT doc_id, word, tf, df, rank, score FROM ranked WHERE rank <= 3
+       ORDER BY doc_id, rank"""
+
+  /** q63 — scalar-quantized (SQ8) ANN: per-dimension affine codes,
+    * similarity as code-space cosine over zero-centered codes (exact
+    * integer sums + one IEEE divide/sqrt). Every step is deterministic
+    * arithmetic, so DuckDB reproduces codes AND scores bit-identically —
+    * an EXACT oracle for a compression operator. */
+  private val q63: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Quantize.train(emb)
+    Quantize.quantizedTopK(emb.filter(col("vec_id") < 50), emb, cb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q63Sql =
+    """WITH s AS (
+         SELECT i AS d, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+                max(CAST(embedding[i] AS DOUBLE)) AS mx
+         FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+         GROUP BY i),
+       zp AS (
+         SELECT d, mn, mx,
+           CASE WHEN mx = mn THEN 0
+                ELSE greatest(0, least(255,
+                  CAST(floor((0 - mn) / (mx - mn) * 255 + 0.5) AS INTEGER)))
+           END AS c0
+         FROM s),
+       codes AS (
+         SELECT vec_id, i AS d,
+           (CASE WHEN z.mx = z.mn THEN 0
+                 ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - z.mn) / (z.mx - z.mn) * 255 + 0.5) AS INTEGER)
+            END) - z.c0 AS code
+         FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+         JOIN zp z ON z.d = i),
+       norms AS (SELECT vec_id, CAST(sum(code * code) AS BIGINT) AS nn
+                 FROM codes GROUP BY 1),
+       dots AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                CAST(sum(q.code * c.code) AS BIGINT) AS qdot
+         FROM codes q JOIN codes c USING (d)
+         WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT d.query_id, d.neighbor_id, d.qdot,
+                CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+                     ELSE CAST(d.qdot AS DOUBLE) /
+                          sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+                END AS qcos
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.query_id
+         JOIN norms nb ON nb.vec_id = d.neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, qdot, qcos,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, rank, qdot,
+              floor(qcos * 1000000 + 0.5) / 1000000 AS qcos
+       FROM ranked WHERE rank <= 5
+       ORDER BY query_id, rank"""
+
+  /** q64 — Bloom-prefiltered decontamination through the REAL bloom path;
+    * result-identical to exact decontamination by construction (the
+    * sketch only prunes, the semi-join verifies), so it shares q50's
+    * exact-truth oracle. */
+  private val q64: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    graft.dedup.Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        shingleN = 13, window = 1, fpp = 0.01)
+      .select(col("id").as("doc_id"), col("n_matched"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q61_semdedup"       -> q61,
+    "q62_tfidf"          -> q62,
+    "q63_quantized_ann"  -> q63,
+    "q64_bloom_decontam" -> q64,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q61_semdedup"       -> q61Sql,
+    "q62_tfidf"          -> q62Sql,
+    "q63_quantized_ann"  -> q63Sql,
+    "q64_bloom_decontam" -> TextQueries.decontamSql, // same exact truth as q50
+  )
+}

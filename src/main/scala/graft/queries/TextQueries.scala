@@ -461,7 +461,8 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val q50Sql =
+  /** exact decontamination truth — shared with q64's bloom path */
+  private[queries] val decontamSql =
     """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
                      FROM documents WHERE length(trim(text)) > 0),
        sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+12], ' ')
@@ -504,7 +505,7 @@ object TextQueries {
     "q39_multimodal_stub"    -> q39Sql,
     "q40_ivf_ann"            -> q40Sql,
     "q46_winnowing_dedup"    -> q34Sql, // same exact truth as q34/q35
-    "q50_decontam"           -> q50Sql,
+    "q50_decontam"           -> decontamSql,
     "q42_curation_pipeline"  -> q42Sql,
   )
 }

@@ -123,6 +123,19 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == 2L)
   }
 
+  test("bloom-prefiltered decontamination is result-identical to exact") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .orderBy("id").collect()
+    // a coarse sketch (10% fpp) stresses the false-positive kill path
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", fpp = 0.1)
+      .orderBy("id").collect()
+    assert(exact.nonEmpty && bloom.sameElements(exact))
+  }
+
   test("decontaminate window>1 sub-samples but keeps long shared runs") {
     import spark.implicits._
     val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
