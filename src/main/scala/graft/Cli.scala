@@ -76,21 +76,28 @@ object Cli {
       println(graft.parsers.Registry.all.keys.toSeq.sorted.mkString("\n"))
     case "curate" =>
       // training-data front door: curate <documents.parquet> <outDir>
-      // PII-redact, score, language-ID, token-count, deterministic
-      // train/val split; written partitioned by split for direct loading
+      // PII-redact, score (heuristic + hashed linear classifier),
+      // language-ID, token-count, deterministic train/val split, and
+      // shuffle-sharded layout; written partitioned by (split, shard)
+      // with rows sorted by shard seq — the reproducible training-order
+      // write pattern
       import org.apache.spark.sql.functions._
-      import graft.text.{Pii, TextOps}
+      import graft.text.{HashClassifier, Pii, TextOps}
       val Array(_, docsPath, out) = args
       // metrics are computed over the ORIGINAL text — [EMAIL]/[PHONE]
       // placeholders would skew punct ratios and token counts — and only
       // then is the text column replaced by its redacted form
-      spark.read.parquet(docsPath)
+      val curated = spark.read.parquet(docsPath)
         .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("clf_score", HashClassifier.scoreExpr(col("text")))
         .withColumn("detected_lang", TextOps.langId(col("text")))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
         .withColumn("text", Pii.redact(col("text")))
         .withColumn("split", graft.pipeline.Sampling.hashSplit(col("doc_id"), 13))
-        .write.mode("overwrite").partitionBy("split").parquet(out)
+      graft.pipeline.Sampling.shuffleShard(curated, col("doc_id"), nShards = 8)
+        .repartition(col("split"), col("shard"))
+        .sortWithinPartitions(col("shard"), col("seq"))
+        .write.mode("overwrite").partitionBy("split", "shard").parquet(out)
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }

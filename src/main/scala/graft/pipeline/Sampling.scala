@@ -93,6 +93,63 @@ object Sampling {
       .drop("_cum_weight", "_budget")
   }
 
+  /** Temperature-scaled mixture quotas (the multilingual-LLM sampling
+    * rule — mT5/XLM-R style p_s ∝ c_s^α at α = 1/2): per-source document
+    * quotas proportional to √count, flattening the source distribution so
+    * head sources stop drowning the tail. Every step is ENGINE-EXACT so
+    * the DuckDB oracle reproduces it bit for bit: weight = ⌊√c⌋ (IEEE
+    * sqrt is correctly rounded, so the floor is exact), quota and the
+    * keep-threshold use integer `div`, and the kept set is the same
+    * hash-threshold Bernoulli as [[mixtureKeep]] — scan-local, no
+    * per-source row_number window (the skew cliff at 100 TB).
+    *
+    * Returns one audit row per source: (source, n_docs, weight, quota,
+    * threshold_hex, n_kept). `n_kept` tracks quota only in expectation
+    * (hash-threshold sampling trades exact counts for scan-locality and
+    * growth-stability — the same trade mixtureKeep makes). */
+  def temperatureQuotas(docs: DataFrame, idCol: String, sourceCol: String,
+                        totalTarget: Long, digits: Int = 4): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs"))).cast("long"))
+    val total = broadcast(perSource.agg(sum(col("weight")).as("_w_total")))
+    val buckets = 1L << (4 * digits)
+    val quotas = perSource.crossJoin(total)
+      .withColumn("quota", expr(s"($totalTarget * weight) div _w_total"))
+      .withColumn("threshold_hex",
+        when(col("quota") >= col("n_docs"), lit("g"))
+          .otherwise(lpad(lower(conv(
+            expr(s"($buckets * quota) div n_docs"), 10, 16)), digits, "0")))
+      .drop("_w_total")
+    val kept = docs
+      .select(md5Prefix(col(idCol), digits).as("_h"), col(sourceCol).as("_src"))
+      .join(broadcast(quotas), col("_src") === col("source"))
+      .filter(col("_h") < col("threshold_hex"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    quotas.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
+  /** Deterministic global shuffle + sharding — the last stage of a
+    * training-data pipeline, where the curated corpus becomes N training
+    * shards in a reproducible pseudo-random order. shard = md5 bucket of
+    * the key (content-addressed: re-runs and incremental appends keep
+    * every existing document's shard); within-shard order = full-md5
+    * rank. The per-shard sort IS the physical write pattern
+    * (`repartition(shard).sortWithinPartitions` — each shard sorts in
+    * parallel; no global order, no single-partition window). Adds
+    * `shardCol` and `seqCol`. */
+  def shuffleShard(df: DataFrame, key: Column, nShards: Int,
+                   shardCol: String = "shard", seqCol: String = "seq"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val sharded = df.withColumn(shardCol,
+      (conv(md5Prefix(key, 8), 16, 10).cast("long") % nShards).cast("int"))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    sharded.withColumn(seqCol, row_number().over(w).cast("long"))
+  }
+
   /** Greedy sequence packing: assign each document (in `orderKey` order)
     * to the fixed-size training bin where its FIRST token lands —
     * `bin = floor(exclusive_prefix / binTokens)`. Contiguous docs fill a

@@ -219,6 +219,122 @@ object CorpusQueries {
               (CASE (SELECT p FROM probe) WHEN 154694 THEN 0.372 WHEN 54249 THEN 0.484 WHEN 19056 THEN 0.26 END)::DOUBLE
        ORDER BY metric"""
 
+  /** q67 — exact substring-span dedup (Lee et al. ACL 2022 semantics at
+    * token granularity, minLen=15): duplicated ≥15-token runs removed
+    * everywhere except their canonical first occurrence. Full SQL oracle
+    * (md5 window digests are engine-portable). */
+  private val q67: Q = (s, dir) =>
+    graft.dedup.SpanDedup.dedupSpans(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q67Sql =
+    """WITH d AS (
+         SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> length(x) > 0) AS w
+         FROM documents WHERE length(trim(text)) > 0),
+       t AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+             FROM d, unnest(range(1, len(w)+1)) AS u(i)),
+       g AS (SELECT doc_id, i - 1 AS pos,
+                    md5(array_to_string(list_slice(w, i, i + 14), ' ')) AS digest
+             FROM d, unnest(range(1, len(w) - 15 + 2)) AS u(i)
+             WHERE len(w) >= 15),
+       o AS (SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY digest) AS n_occ
+             FROM g),
+       cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+               FROM o, unnest(range(0, 15)) AS r(j)
+               WHERE n_occ > 1 AND rn > 1),
+       kept AS (SELECT t.doc_id, t.pos, t.tok
+                FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+                WHERE cov.pos IS NULL),
+       ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+              FROM kept GROUP BY 1),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+       SELECT tot.doc_id, tot.n_tokens,
+              tot.n_tokens - coalesce(ka.n_kept, 0) AS n_dup_tokens,
+              coalesce(ka.clean_digest, md5('')) AS clean_digest
+       FROM tot LEFT JOIN ka USING (doc_id)
+       ORDER BY doc_id"""
+
+  /** q68 — hashed-feature linear quality classifier (fastText-style,
+    * md5-derived weights, exact integer accumulation). Full SQL oracle. */
+  private val q68: Q = (s, dir) =>
+    graft.text.HashClassifier.score(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q68Sql = {
+    val scoreExpr = graft.functions.StableRound.sql(
+      "CAST(raw_weight AS DOUBLE) / (n_features * 2147483648.0)", 6)
+    s"""WITH d AS (
+         SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> length(x) > 0) AS w
+         FROM documents WHERE length(trim(text)) > 0),
+       t AS (SELECT doc_id, w[i] AS tok,
+                    CASE WHEN i < len(w) THEN w[i+1] END AS nxt
+             FROM d, unnest(range(1, len(w)+1)) AS u(i)),
+       f AS (SELECT doc_id, tok AS feat FROM t
+             UNION ALL
+             SELECT doc_id, tok || '_' || nxt FROM t WHERE nxt IS NOT NULL),
+       s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                    CAST(sum(CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                             - 2147483648) AS BIGINT) AS raw_weight
+             FROM f GROUP BY 1)
+       SELECT doc_id, n_features, raw_weight, score,
+              CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+       FROM (SELECT *, $scoreExpr AS score FROM s)
+       ORDER BY doc_id"""
+  }
+
+  /** q69 — temperature-scaled mixture quotas (α = 1/2, target 200 docs):
+    * √count source weights, integer-exact quotas and hash thresholds,
+    * audited kept counts. Full SQL oracle. */
+  private val q69: Q = (s, dir) =>
+    graft.pipeline.Sampling.temperatureQuotas(
+      Tables.documents(s, dir), "doc_id", "source", totalTarget = 200L)
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"),
+        col("threshold_hex"), col("n_kept"))
+      .orderBy(col("source"))
+
+  private val q69Sql =
+    """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY 1),
+       w AS (SELECT source, n_docs,
+                    CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight FROM s),
+       tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+       q AS (SELECT source, n_docs, weight,
+                    CAST((200 * weight) // w_total AS BIGINT) AS quota
+             FROM w, tot),
+       th AS (SELECT *, CASE WHEN quota >= n_docs THEN 'g'
+                             ELSE printf('%04x', (65536 * quota) // n_docs)
+                        END AS threshold_hex FROM q),
+       k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+             FROM documents d JOIN th ON d.source = th.source
+             WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.threshold_hex
+             GROUP BY 1)
+       SELECT th.source, th.n_docs, th.weight, th.quota, th.threshold_hex,
+              coalesce(k.n_kept, 0) AS n_kept
+       FROM th LEFT JOIN k USING (source) ORDER BY source"""
+
+  /** q70 — deterministic global shuffle + sharding (8 shards): the final
+    * write stage of a curation pipeline. Full SQL oracle. */
+  private val q70: Q = (s, dir) =>
+    graft.pipeline.Sampling.shuffleShard(
+      Tables.documents(s, dir), col("doc_id"), nShards = 8)
+      .select(col("shard"), col("seq"), col("doc_id"))
+      .orderBy(col("shard"), col("seq"))
+
+  private val q70Sql =
+    """WITH s AS (SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents)
+       SELECT shard,
+              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS seq,
+              doc_id
+       FROM s ORDER BY shard, seq"""
+
   val defs: Map[String, Q] = Map(
     "q61_semdedup"       -> q61,
     "q62_tfidf"          -> q62,
@@ -226,6 +342,10 @@ object CorpusQueries {
     "q64_bloom_decontam" -> q64,
     "q65_cdc_chunk"      -> q65,
     "q66_pq_ann"         -> q66,
+    "q67_substring_dedup" -> q67,
+    "q68_quality_classifier" -> q68,
+    "q69_temperature_mix" -> q69,
+    "q70_shuffle_shard"  -> q70,
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +355,9 @@ object CorpusQueries {
     "q64_bloom_decontam" -> TextQueries.decontamSql, // same exact truth as q50
     "q65_cdc_chunk"      -> q65Sql,
     "q66_pq_ann"         -> q66Sql,
+    "q67_substring_dedup" -> q67Sql,
+    "q68_quality_classifier" -> q68Sql,
+    "q69_temperature_mix" -> q69Sql,
+    "q70_shuffle_shard"  -> q70Sql,
   )
 }

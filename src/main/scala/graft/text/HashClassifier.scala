@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear text classifier — the fastText-style quality
+  * gate (Joulin et al., "Bag of Tricks for Efficient Text
+  * Classification", EACL 2017) LLM pipelines run to score documents
+  * against a trained model (GPT-3's quality filter, LLaMA's Wikipedia
+  * classifier). The MODEL here is the hashing trick end to end: a
+  * feature's weight is read from a hash of the feature itself, so the
+  * operator needs no vocabulary broadcast, no lookup join, and no
+  * out-of-vocabulary path — scoring a 100 TB corpus is one stateless
+  * scan-local expression per document.
+  *
+  * Weights are derived from md5 (first 8 hex digits, centered to
+  * [-2³¹, 2³¹)) — in production they would be a trained table keyed by
+  * the same hash; md5 keeps the whole scorer bit-reproducible in any
+  * engine (the DuckDB oracle re-derives every weight). The per-document
+  * score is an INTEGER sum (exact, order-independent — no float
+  * accumulation across partitions) with one final double division.
+  *
+  * Features: unigrams plus adjacent-bigram conjunctions (`a_b`), the
+  * fastText default n=2.
+  */
+object HashClassifier {
+
+  /** Exact integer weight of one feature string: first 8 md5 hex digits
+    * as an unsigned int, centered. Range [-2³¹, 2³¹); zero-mean over
+    * uniformly-hashed features. */
+  def featureWeight(f: Column): Column =
+    conv(substring(md5(f.cast("binary")), 1, 8), 16, 10).cast("long") -
+      lit(1L << 31)
+
+  /** Unigram + adjacent-bigram feature array of a token array. */
+  def features(toks: Column): Column =
+    concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit("_"),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+
+  private def rawWeight(feats: Column): Column =
+    aggregate(transform(feats, f => featureWeight(f)),
+      lit(0L), (acc, w) => acc + w)
+
+  private def meanScore(raw: Column, n: Column): Column =
+    graft.functions.StableRound.tieStableRound(
+      raw.cast("double") / (n.cast("double") * lit((1L << 31).toDouble)), 6)
+
+  /** Scan-local score column for embedding in a pipeline (the Cli curate
+    * front door): rounded mean weight in (-1, 1), null for blank text. */
+  def scoreExpr(text: Column): Column = {
+    val feats = features(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+    when(size(feats) > 0, meanScore(rawWeight(feats), size(feats)))
+  }
+
+  /** Per-document score report: feature count, exact integer raw weight
+    * sum, mean weight normalized to (-1, 1) (tie-stable rounded at 6
+    * decimals), and the keep/drop decision at threshold 0. Blank
+    * documents yield no row. */
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol).as("doc_id"), features(toks).as("feats"))
+      .filter(size(col("feats")) > 0)
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_features"),
+        rawWeight(col("feats")).as("raw_weight"))
+      .withColumn("score", meanScore(col("raw_weight"), col("n_features")))
+      .withColumn("label",
+        when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+  }
+}

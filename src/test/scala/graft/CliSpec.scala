@@ -21,15 +21,23 @@ class CliSpec extends SparkSpec {
     assert(curated.count() ==
       spark.read.parquet(s"$sf/documents.parquet").count())
     assert(curated.columns.toSet.contains("quality") &&
+      curated.columns.toSet.contains("clf_score") &&
       curated.columns.toSet.contains("detected_lang") &&
       curated.columns.toSet.contains("n_tokens") &&
-      curated.columns.toSet.contains("split"))
+      curated.columns.toSet.contains("split") &&
+      curated.columns.toSet.contains("shard") &&
+      curated.columns.toSet.contains("seq"))
     val splits = curated.select("split").distinct()
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val")) && splits.contains("train"))
-    // partitioned layout: split=... directories on disk
+    // partitioned layout: split=.../shard=... directories on disk
     assert(Files.list(Paths.get(out)).toArray.map(_.toString)
       .exists(_.contains("split=train")))
+    assert(Files.list(Paths.get(s"$out/split=train")).toArray.map(_.toString)
+      .exists(_.contains("shard=")))
+    // classifier scores ride the original text and land in (-1, 1)
+    val clf = curated.agg(min("clf_score"), max("clf_score")).head()
+    assert(clf.getDouble(0) > -1.0 && clf.getDouble(1) < 1.0)
   }
 
   test("unknown source and unknown command both fail clearly") {

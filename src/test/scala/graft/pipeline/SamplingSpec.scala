@@ -126,4 +126,53 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"budget scalar not joined lazily:\n$plan")
   }
+
+  test("temperature quotas: sqrt weighting flattens a skewed mixture") {
+    import spark.implicits._
+    // 900 docs of 'big', 100 of 'small': proportional sampling gives 9:1,
+    // sqrt-temperature gives 30:10 = 3:1
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val r = Sampling.temperatureQuotas(docs, "doc_id", "source", totalTarget = 100L)
+      .orderBy("source").collect()
+    val big = r(0); val small = r(1)
+    assert(big.getAs[Long]("weight") == 30 && small.getAs[Long]("weight") == 10)
+    assert(big.getAs[Long]("quota") == 75 && small.getAs[Long]("quota") == 25)
+    // small source is upsampled: quota/n_docs 25% vs big's 8.3%
+    val keptBig = big.getAs[Long]("n_kept").toDouble / 900
+    val keptSmall = small.getAs[Long]("n_kept").toDouble / 100
+    assert(keptSmall > keptBig * 2, s"small $keptSmall vs big $keptBig")
+  }
+
+  test("temperature quotas: a tiny source with quota >= count keeps all") {
+    import spark.implicits._
+    val docs = ((0L until 1000L).map(i => (i, "big")) ++
+      Seq((1000L, "tiny"), (1001L, "tiny"))).toDF("doc_id", "source")
+    val r = Sampling.temperatureQuotas(docs, "doc_id", "source", totalTarget = 200L)
+      .orderBy("source").collect()
+    val tiny = r(1)
+    assert(tiny.getAs[String]("threshold_hex") == "g")
+    assert(tiny.getAs[Long]("n_kept") == 2)
+  }
+
+  test("shuffle shard: balanced shards, contiguous seqs, append-stable") {
+    import spark.implicits._
+    val docs = spark.range(800).toDF("doc_id")
+    val r = Sampling.shuffleShard(docs, col("doc_id"), nShards = 8)
+    val perShard = r.groupBy("shard").agg(
+      count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi")).collect()
+    assert(perShard.length == 8)
+    perShard.foreach { s =>
+      assert(s.getAs[Long]("lo") == 1L && s.getAs[Long]("hi") == s.getAs[Long]("n"))
+      assert(math.abs(s.getAs[Long]("n") - 100.0) < 40, s"skewed shard: $s")
+    }
+    // shard assignment is content-addressed: appending new docs never
+    // moves an existing one
+    val grown = Sampling.shuffleShard(spark.range(1600).toDF("doc_id"),
+      col("doc_id"), nShards = 8).filter(col("doc_id") < 800)
+    val before = r.select("doc_id", "shard").collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    grown.select("doc_id", "shard").collect().foreach { x =>
+      assert(before(x.getLong(0)) == x.getInt(1))
+    }
+  }
 }
