@@ -112,7 +112,7 @@ object Bench {
     // carry sentinel -3.0 = "not reached"), overwritten by the full JSON
     // at the end.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    def emitJson(dedupCurve: Seq[Double], winnowSec: Double,
+    def emitJson(dedupCurve: Seq[Double], winnowSec: Double, substringSec: Double,
                  mergeSmoke: (Double, Long, Long, Long),
                  loadAfter: Double, partial: Boolean): String = {
       // threshold rides the LARGER of JVM-visible processors and the
@@ -127,14 +127,14 @@ object Bench {
         if (probes.size < 2 || probes.min <= 0) 1.0 else probes.max / probes.min
       val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus ||
         probeSpread > 2.0
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     probes += cpuProbe(benchCpus) // phase boundary: queries done
-    writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, (-3.0, 0L, 0L, 0L),
+    writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, -3.0, (-3.0, 0L, 0L, 0L),
       load1(), partial = true))
     // Every scale smoke runs in its OWN fresh session: prior executions
     // leave shuffle files, block-manager state, and pending ContextCleaner
@@ -174,6 +174,15 @@ object Bench {
         probes += cpuProbe(benchCpus)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
+    // the exact substring-span engine (q67 semantics) over the same 1M
+    // docs — result-checked against the same planted dup count
+    val substringSmokeSec =
+      try {
+        val (secs, dups, expected) =
+          DedupScaleSmoke.runSubstring(freshSmokeSession(), 1000000L)
+        probes += cpuProbe(benchCpus)
+        if (dups == expected) secs else -2.0
+      } catch { case _: Throwable => -1.0 }
     // merge envelope: 2×25M overlapping sources (50M input rows — an order
     // of magnitude past the reference's 10M RESOURCE_HOGS fork,
     // orion/merging.py:240) through the one production merge path, inside
@@ -186,7 +195,7 @@ object Bench {
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
-    val json = emitJson(dedupCurve, winnowSmokeSec, mergeSmoke,
+    val json = emitJson(dedupCurve, winnowSmokeSec, substringSmokeSec, mergeSmoke,
       load1(), partial = false)
     println(json)
     // the driver's stdout capture keeps only a tail — the file is the

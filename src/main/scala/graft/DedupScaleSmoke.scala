@@ -28,6 +28,9 @@ object DedupScaleSmoke {
     val (wsecs, wdups, wexpected) = runWinnowing(spark, n)
     println(f"[dedup-scale-smoke] winnowing docs=$n dups_found=$wdups " +
       f"(expected=$wexpected) wall=$wsecs%.1f s")
+    val (ssecs, sdups, sexpected) = runSubstring(spark, n)
+    println(f"[dedup-scale-smoke] substring docs=$n dups_found=$sdups " +
+      f"(expected=$sexpected) wall=$ssecs%.1f s")
     spark.stop()
   }
 
@@ -95,5 +98,21 @@ object DedupScaleSmoke {
       .filter(col("jaccard") >= 0.5)
     val dups = countDups(docs, pairs)
     ((System.nanoTime() - t0) / 1e9, dups, expectedDups(n))
+  }
+
+  /** Same corpus through the exact substring-span path (q67 semantics,
+    * minLen=15): every planted near-dup shares its leading 30-token run
+    * with its base doc and every exact dup all 31 tokens, so the windows
+    * over those runs are corpus-duplicated while positional `w{i}` token
+    * prefixes make cross-pair or within-doc 15-gram collisions
+    * impossible — documents with removed content == the planted dup
+    * count, and the canonical (lower-id) copies stay intact. */
+  def runSubstring(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
+    val docs = corpus(spark, n)
+    val t0 = System.nanoTime()
+    val flagged = graft.dedup.SpanDedup.dedupSpans(docs, "doc_id", "text", minLen = 15)
+      .agg(sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L)).as("flagged"))
+      .head().getLong(0)
+    ((System.nanoTime() - t0) / 1e9, flagged, expectedDups(n))
   }
 }
