@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ GraphQueries.defs ++ TextQueries.defs ++
-      ParserQueries.defs ++ SamplingQueries.defs ++ CorpusQueries.defs
+      ParserQueries.defs ++ SamplingQueries.defs ++ CorpusQueries.defs ++
+      AnalyticsQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
-      ParserQueries.oracles ++ SamplingQueries.oracles ++ CorpusQueries.oracles
+      ParserQueries.oracles ++ SamplingQueries.oracles ++ CorpusQueries.oracles ++
+      AnalyticsQueries.oracles
 }

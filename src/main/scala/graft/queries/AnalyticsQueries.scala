@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{Bfs, PageRank}
+import graft.operators.{AsofJoin, RangeJoin}
+import graft.sketch.Kmv
+
+/** Temporal joins, graph analytics, and sketch operators over the star
+  * schema — the relational plane a feature-store / training-data engine
+  * needs beyond plain joins: point-in-time correctness (as-of), bounded
+  * time-window matching (range join), iterative graph traversal
+  * (BFS / PageRank), and engine-reproducible cardinality sketches (KMV).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+  /** Clicks deduped to one row per (user, ts) so the as-of match is
+    * deterministic under timestamp ties. */
+  private def clicksDeduped(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max(col("event_id")).as("click_id"))
+
+  /** q71 — backward as-of join: each purchase picks up the most recent
+    * click (≤ purchase time) by the same user. Oracle: DuckDB's native
+    * ASOF LEFT JOIN — an independent implementation of the same
+    * semantics, so the union-window construction is cross-checked
+    * against a real interval-search engine. */
+  private val q71: Q = (s, dir) => {
+    val joined = AsofJoin.backward(
+      purchases(s, dir), clicksDeduped(s, dir),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "cts",
+      rightPayload = Seq("click_id"))
+    joined.select(
+      col("event_id"), col("user_id"), col("ts"),
+      col("click_id"), col("matched_ts").as("click_ts"),
+      (unix_micros(col("ts")) - unix_micros(col("matched_ts"))).as("gap_us"))
+  }
+
+  private val q71Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+                  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       SELECT p.event_id, p.user_id, p.ts, c.click_id, c.cts AS click_ts,
+              epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts"""
+
+  /** q72 — range join: per purchase, how many clicks by the same user in
+    * the preceding hour. The bucketed equi-join construction (2× left
+    * fan-out, no theta-join) vs DuckDB's inequality join. */
+  private val q72: Q = (s, dir) => {
+    val p = purchases(s, dir)
+    val clicks = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val pairs = RangeJoin.pairsPreceding(p, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "cts",
+      spanMicros = 3600L * 1000000L, rightPayload = Seq("click_id"))
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    p.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
+  private val q72Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                  FROM events WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id, count(c.click_id) AS n_clicks
+       FROM p LEFT JOIN c
+         ON p.user_id = c.user_id
+        AND c.cts > p.ts - INTERVAL 1 HOUR AND c.cts <= p.ts
+       GROUP BY p.event_id, p.user_id"""
+
+  /** The supply-chain DAG: part → supplier (ships it) → nation → region,
+    * with ids namespaced per entity type. */
+  private def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val e1 = Tables.lineitem(s, dir).select(
+      concat(lit("P:"), col("l_partkey")).as("src"),
+      concat(lit("S:"), col("l_suppkey")).as("dst"))
+    val e2 = Tables.supplier(s, dir).select(
+      concat(lit("S:"), col("s_suppkey")).as("src"),
+      concat(lit("N:"), col("s_nationkey")).as("dst"))
+    val e3 = Tables.nation(s, dir).select(
+      concat(lit("N:"), col("n_nationkey")).as("src"),
+      concat(lit("R:"), col("n_regionkey")).as("dst"))
+    e1.unionByName(e2).unionByName(e3)
+  }
+
+  private val supplyEdgesSql =
+    """SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst FROM lineitem
+       UNION
+       SELECT DISTINCT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+       UNION
+       SELECT DISTINCT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation"""
+
+  /** q73 — k-hop BFS reachability (min depth ≤ 3) from small parts
+    * through the supply DAG. Oracle: recursive CTE with min-depth
+    * aggregation — the declarative twin of the iterative frontier loop. */
+  private val q73: Q = (s, dir) => {
+    val seeds = Tables.part(s, dir).filter(col("p_size") <= 5)
+      .select(concat(lit("P:"), col("p_partkey")).as("node"))
+    Bfs.reach(supplyEdges(s, dir), seeds, maxDepth = 3)
+  }
+
+  private val q73Sql =
+    s"""WITH RECURSIVE
+          e AS ($supplyEdgesSql),
+          seeds AS (SELECT 'P:' || p_partkey AS node FROM part WHERE p_size <= 5),
+          walk(node, d) AS (
+            SELECT node, 0 FROM seeds
+            UNION ALL
+            SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 3)
+        SELECT node, min(d) AS depth FROM walk GROUP BY node"""
+
+  /** q74 — 5-iteration PageRank over the supply DAG (damping 0.85,
+    * dangling mass redistributed uniformly). Oracle: the five power
+    * iterations unrolled into chained CTEs. Ranks are rounded to 9
+    * decimals on both sides — the engines sum contributions in different
+    * orders, so raw doubles differ in the last ulps. */
+  private val q74: Q = (s, dir) => {
+    PageRank.run(supplyEdges(s, dir), iterations = 5, d = 0.85)
+      .select(col("node"), round(col("rank"), 9).as("rank"))
+  }
+
+  private val q74Sql: String = {
+    val base =
+      s"""WITH e AS ($supplyEdgesSql),
+          nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          ann AS (SELECT e.src, e.dst, o.outdeg FROM e
+                  JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+                        FROM e GROUP BY src) o USING (src)),
+          r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    val iters = (1 to 5).map { i =>
+      s"""d$i AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r${i - 1}
+                  WHERE node NOT IN (SELECT DISTINCT src FROM ann)),
+          r$i AS (
+            SELECT n.node,
+                   0.15 / (SELECT n FROM nn)
+                   + 0.85 * (COALESCE(c.inflow, 0) + (SELECT dang FROM d$i) / (SELECT n FROM nn)) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT a.dst AS node, sum(r.rank / a.outdeg) AS inflow
+              FROM ann a JOIN r${i - 1} r ON a.src = r.node
+              GROUP BY a.dst) c USING (node))"""
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, round(rank, 9) AS rank FROM r5"
+  }
+
+  /** q75 — KMV bottom-k distinct sketch: estimated distinct parts per
+    * return flag (k = 128). The md5-derived 60-bit hash is identical in
+    * both engines, so the estimate — not just the true cardinality — is
+    * reproduced exactly: the oracle re-derives the same sketch. */
+  private val q75: Q = (s, dir) =>
+    Kmv.estimateDistinct(Tables.lineitem(s, dir),
+      groupCols = Seq("l_returnflag"), valueCol = "l_partkey", k = 128)
+
+  private val q75Sql =
+    """WITH h AS (SELECT DISTINCT l_returnflag,
+                    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                  FROM lineitem),
+            ranked AS (SELECT l_returnflag, hv,
+                              row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+                       FROM h)
+       SELECT l_returnflag,
+              CASE WHEN max(rn) <= 128 THEN CAST(max(rn) AS DOUBLE)
+                   ELSE 127.0 / (CAST(max(CASE WHEN rn = 128 THEN hv END) AS DOUBLE)
+                                 / 1152921504606846976.0)
+              END AS est_distinct
+       FROM ranked WHERE rn <= 129
+       GROUP BY l_returnflag"""
+
+  /** q76 — exact distributed quantiles: p25/p50/p75 of event value per
+    * type (continuous interpolation). Exact percentile sorts each
+    * group's values — fine per group here; the 100 TB path is
+    * approx_percentile (t-digest, mergeable, bounded state), asserted
+    * equivalent-within-ε in the spec. Rounded: the two engines
+    * interpolate in a different operation order. */
+  private val q76: Q = (s, dir) =>
+    Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.50)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        count(lit(1)).as("n"))
+
+  private val q76Sql =
+    """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              count(*) AS n
+       FROM events GROUP BY event_type"""
+
+  val defs: Map[String, Q] = Map(
+    "q71_asof_join"  -> q71,
+    "q72_range_join" -> q72,
+    "q73_khop_reach" -> q73,
+    "q74_pagerank"   -> q74,
+    "q75_kmv_distinct" -> q75,
+    "q76_quantiles"  -> q76)
+
+  val oracles: Map[String, String] = Map(
+    "q71_asof_join"  -> q71Sql,
+    "q72_range_join" -> q72Sql,
+    "q73_khop_reach" -> q73Sql,
+    "q74_pagerank"   -> q74Sql,
+    "q75_kmv_distinct" -> q75Sql,
+    "q76_quantiles"  -> q76Sql)
+}
