@@ -163,4 +163,30 @@ object Sampling {
       .withColumn(binCol,
         floor((col("_cum_weight") - col(weightCol)) / lit(binTokens)).cast("long"))
       .drop("_cum_weight")
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006): each row draws a content-addressed
+    * uniform u = (hash60(key)+1)/(2^60+1) and is ranked by
+    * -ln(u) / weight; the k SMALLEST ranks are a weighted sample without
+    * replacement. Content-addressing replaces the usual rand(): the same
+    * corpus always yields the same sample (and the same row keeps the
+    * same draw when new rows arrive — only boundary rows change).
+    *
+    * The rank is rounded to 9 decimals and tie-broken on `key` so an
+    * independent engine evaluating the same formula selects the
+    * identical set (raw libm `ln` can differ in the last ulp across
+    * runtimes).
+    *
+    * Scale: global top-k plans as TakeOrderedAndProject — per-partition
+    * heap of k, driver merge of k × partitions rows; no global sort. */
+  def weightedTopK(df: DataFrame, key: Column, weightCol: String,
+                   k: Int, rankCol: String = "es_rank"): DataFrame = {
+    // u on (0,1]: (h+1)/2^60 — both the numerator and the power-of-two
+    // denominator are exact in double, so u is bit-identical cross-engine
+    val u = (graft.sketch.Kmv.hash60(key).cast("double") + 1.0) /
+      graft.sketch.Kmv.HashSpaceSize
+    df.withColumn(rankCol, round(-log(u) / col(weightCol), 9))
+      .orderBy(col(rankCol), key)
+      .limit(k)
+  }
 }

@@ -199,13 +199,62 @@ object AnalyticsQueries {
               count(*) AS n
        FROM events GROUP BY event_type"""
 
+  /** q77 — count-min heavy hitters: CMS point estimates (d=4, w=256) for
+    * every user's event count, alongside the exact count (est ≥ exact
+    * always; the gap is the sketch's collision overestimate). The oracle
+    * rebuilds the identical d×w grid from the same md5 hash family —
+    * checking the sketch itself, not just the answer. */
+  private val q77: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+    val est = graft.sketch.CountMin.estimateCounts(events, "user_id", d = 4, w = 256)
+    val exact = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"))
+  }
+
+  private val q77Sql =
+    """WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+            cells AS (
+              SELECT row_i,
+                     CAST(concat('0x', substr(md5(row_i || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+                     count(*) AS cnt
+              FROM events CROSS JOIN rows_i GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT user_id, row_i,
+                     CAST(concat('0x', substr(md5(row_i || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+              FROM events CROSS JOIN rows_i),
+            est AS (
+              SELECT c.user_id, min(cells.cnt) AS est
+              FROM cand c JOIN cells USING (row_i, bucket) GROUP BY c.user_id)
+       SELECT e.user_id, e.est, x.exact
+       FROM est e JOIN (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id) x
+       USING (user_id)"""
+
+  /** q78 — deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis, content-addressed): top-50 documents by
+    * -ln(u)/n_chars rank. Both engines evaluate the identical closed-form
+    * rank, so the SAMPLE ITSELF is oracled, not a summary of it. */
+  private val q78: Q = (s, dir) =>
+    graft.pipeline.Sampling.weightedTopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), "n_chars", k = 50)
+      .select(col("doc_id"), col("es_rank"))
+
+  private val q78Sql =
+    """SELECT doc_id,
+              round(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                        / 1152921504606846976.0) / n_chars, 9) AS es_rank
+       FROM documents ORDER BY es_rank, doc_id LIMIT 50"""
+
   val defs: Map[String, Q] = Map(
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
     "q73_khop_reach" -> q73,
     "q74_pagerank"   -> q74,
     "q75_kmv_distinct" -> q75,
-    "q76_quantiles"  -> q76)
+    "q76_quantiles"  -> q76,
+    "q77_heavy_hitters" -> q77,
+    "q78_weighted_sample" -> q78)
 
   val oracles: Map[String, String] = Map(
     "q71_asof_join"  -> q71Sql,
@@ -213,5 +262,7 @@ object AnalyticsQueries {
     "q73_khop_reach" -> q73Sql,
     "q74_pagerank"   -> q74Sql,
     "q75_kmv_distinct" -> q75Sql,
-    "q76_quantiles"  -> q76Sql)
+    "q76_quantiles"  -> q76Sql,
+    "q77_heavy_hitters" -> q77Sql,
+    "q78_weighted_sample" -> q78Sql)
 }

@@ -110,6 +110,24 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: left rows pair with right rows sharing
+    * `key` whose `rightTs` falls in `(leftTs - span, leftTs]` — the
+    * streaming twin of [[graft.operators.RangeJoin]]. Both sides carry
+    * watermarks, so Spark bounds the join state: a buffered right row is
+    * evicted once the left watermark passes `rightTs + span` (the range
+    * condition gives the planner the eviction bound — an unconstrained
+    * stream-stream join would buffer forever). Column names must be
+    * disjoint apart from `key`. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String, spanSeconds: Long,
+                         watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark).alias("l")
+      .join(right.withWatermark(rightTs, watermark).alias("r"),
+        expr(s"l.$key = r.$key" +
+          s" AND r.$rightTs > l.$leftTs - INTERVAL $spanSeconds SECONDS" +
+          s" AND r.$rightTs <= l.$leftTs"))
+      .drop(col(s"r.$key"))
+
   /** Batch replay helper: run a streaming query over a bounded parquet dir
     * through the memory sink and return the result table (used by tests and
     * by Verify-style offline checks). */

@@ -175,4 +175,29 @@ class SamplingSpec extends SparkSpec {
       assert(before(x.getLong(0)) == x.getInt(1))
     }
   }
+
+  test("weightedTopK: heavier rows are sampled proportionally more often") {
+    import spark.implicits._
+    // 500 light rows (w=1) vs 500 heavy rows (w=10): a weighted sample of
+    // 100 should skew hard toward the heavy half (E[heavy] ≈ 91)
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) 1.0 else 10.0))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedTopK(df, col("doc_id"), "w", k = 100)
+      .select("doc_id").as[Long].collect()
+    val heavy = kept.count(_ >= 500)
+    assert(kept.length == 100)
+    assert(heavy > 75, s"heavy rows under-sampled: $heavy/100")
+  }
+
+  test("weightedTopK is deterministic and content-addressed") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, 1.0 + i % 7)).toDF("doc_id", "w")
+    val a = Sampling.weightedTopK(df, col("doc_id"), "w", 40).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedTopK(df, col("doc_id"), "w", 40).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // plan check: global top-k must be a TakeOrdered, not a full sort
+    val plan = Sampling.weightedTopK(df, col("doc_id"), "w", 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }

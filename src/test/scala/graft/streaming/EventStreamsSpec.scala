@@ -65,6 +65,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val schema = graft.Tables.events(spark, sf).schema
+    def src(streaming: Boolean) =
+      if (streaming) spark.readStream.schema(schema).parquet(eventsDir)
+      else graft.Tables.events(spark, sf)
+    def purchases(streaming: Boolean) = src(streaming)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    def clicks(streaming: Boolean) = src(streaming)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("cts"))
+
+    val joined = EventStreams.intervalJoinStream(
+      purchases(true), clicks(true), key = "user_id",
+      leftTs = "ts", rightTs = "cts", spanSeconds = 3600, watermark = "10 minutes")
+    val got = EventStreams.runToMemory(spark, joined, "interval_join")
+      .select("p_id", "c_id")
+
+    val expected = graft.operators.RangeJoin.pairsPreceding(
+      purchases(false), clicks(false), Seq("user_id"),
+      "ts", "cts", 3600L * 1000000L, Seq("c_id"))
+      .select("p_id", "c_id")
+
+    // bounded input + processAllAvailable → the stream emits the complete
+    // inner-join result, which must equal the batch range join exactly
+    assert(got.count() === expected.count())
+    assert(got.join(expected, Seq("p_id", "c_id"), "left_anti").count() === 0)
+    assert(expected.join(got, Seq("p_id", "c_id"), "left_anti").count() === 0)
+  }
+
   test("batch sessionize twin: all sessions incl. open ones") {
     import spark.implicits._
     val df = Seq(
