@@ -246,6 +246,124 @@ object AnalyticsQueries {
                         / 1152921504606846976.0) / n_chars, 9) AS es_rank
        FROM documents ORDER BY es_rank, doc_id LIMIT 50"""
 
+  /** The co-purchase graph: two parts are adjacent when some urgent order
+    * contains both. Restricted to p_size ≤ 25 so the wedge space stays
+    * proportionate to the scale factor (the full graph works too — the
+    * degree orientation in [[graft.graph.Triangles]] is the scale guard —
+    * but the oracle must also enumerate it). */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_size") <= 25).select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.alias("x").join(li.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").cast("string").as("src"),
+              col("y.pk").cast("string").as("dst"))
+  }
+
+  /** q79 — per-node triangle counts over the co-purchase graph
+    * (degree-oriented wedge enumeration). The oracle enumerates the same
+    * triangle set by id order — orientation is physical, the set is not. */
+  private val q79: Q = (s, dir) =>
+    graft.graph.Triangles.perNode(coPartEdges(s, dir))
+      .select(col("node").cast("long").as("node"), col("n_tri"))
+
+  private val q79Sql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                   FROM lineitem
+                   JOIN orders ON l_orderkey = o_orderkey
+                   JOIN part   ON l_partkey = p_partkey
+                   WHERE o_orderpriority = '1-URGENT' AND p_size <= 25),
+            e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+            tri AS (SELECT e1.a, e1.b, e2.b AS c
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            n AS (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+       SELECT node, count(*) AS n_tri FROM n GROUP BY node"""
+
+  /** q80 — neighborhood Jaccard: supplier pairs scored by the small parts
+    * (p_size ≤ 5) they both ship. Exact-integer ratio → tie-stable
+    * rounding reproduces bit-identically. */
+  private val q80: Q = (s, dir) => {
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_size") <= 5).select(col("p_partkey"))
+    val edges = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("feat"))
+    graft.graph.NodeSimilarity.jaccard(edges, minCommon = 3)
+  }
+
+  private val q80Sql = {
+    val j = graft.functions.StableRound.sql(
+      "CAST(n_common AS DOUBLE) / CAST(d1 + d2 - n_common AS DOUBLE)", 6)
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS feat
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE p_size <= 5),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            inter AS (SELECT x.src AS s1, y.src AS s2, count(*) AS n_common
+                      FROM e x JOIN e y ON x.feat = y.feat AND x.src < y.src
+                      GROUP BY x.src, y.src
+                      HAVING count(*) >= 3)
+       SELECT s1, s2, n_common, $j AS jaccard
+       FROM inter
+       JOIN (SELECT src AS s1, deg AS d1 FROM deg) USING (s1)
+       JOIN (SELECT src AS s2, deg AS d2 FROM deg) USING (s2)"""
+  }
+
+  /** The supply DAG restricted to small parts (p_size ≤ 10) — a
+    * several-thousand-node subgraph whose 4-superstep label frontier the
+    * oracle can afford to unroll. */
+  private def smallSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_size") <= 10).select(col("p_partkey"))
+    val e1 = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .select(concat(lit("P:"), col("l_partkey")).as("src"),
+              concat(lit("S:"), col("l_suppkey")).as("dst"))
+    val e2 = Tables.supplier(s, dir).select(
+      concat(lit("S:"), col("s_suppkey")).as("src"),
+      concat(lit("N:"), col("s_nationkey")).as("dst"))
+    val e3 = Tables.nation(s, dir).select(
+      concat(lit("N:"), col("n_nationkey")).as("src"),
+      concat(lit("R:"), col("n_regionkey")).as("dst"))
+    e1.unionByName(e2).unionByName(e3)
+  }
+
+  /** q81 — 4 supersteps of synchronous min-label propagation (hash-min
+    * connected components in flight) over the small-part supply graph.
+    * Oracle: the supersteps unrolled into materialized chained CTEs. */
+  private val q81: Q = (s, dir) =>
+    graft.graph.LabelPropagation.run(smallSupplyEdges(s, dir), iterations = 4)
+
+  private val q81Sql: String = {
+    val base =
+      """WITH ed AS MATERIALIZED (
+           SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
+           FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
+           UNION SELECT DISTINCT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+           UNION SELECT DISTINCT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation),
+         e AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    val iters = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+            SELECT l.node, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+            FROM l${i - 1} l
+            LEFT JOIN e ON e.src = l.node
+            LEFT JOIN l${i - 1} n ON n.node = e.dst
+            GROUP BY l.node, l.lbl)"""
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, lbl FROM l4"
+  }
+
   val defs: Map[String, Q] = Map(
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
@@ -254,7 +372,10 @@ object AnalyticsQueries {
     "q75_kmv_distinct" -> q75,
     "q76_quantiles"  -> q76,
     "q77_heavy_hitters" -> q77,
-    "q78_weighted_sample" -> q78)
+    "q78_weighted_sample" -> q78,
+    "q79_triangles"  -> q79,
+    "q80_neighbor_jaccard" -> q80,
+    "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
     "q71_asof_join"  -> q71Sql,
@@ -264,5 +385,8 @@ object AnalyticsQueries {
     "q75_kmv_distinct" -> q75Sql,
     "q76_quantiles"  -> q76Sql,
     "q77_heavy_hitters" -> q77Sql,
-    "q78_weighted_sample" -> q78Sql)
+    "q78_weighted_sample" -> q78Sql,
+    "q79_triangles"  -> q79Sql,
+    "q80_neighbor_jaccard" -> q80Sql,
+    "q81_label_prop" -> q81Sql)
 }

@@ -47,4 +47,63 @@ class GraphAlgoSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     ranks.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12))
   }
+
+  //  K4 on {p,q,r,s} (4 triangles per definition) plus a pendant edge s→t
+  private lazy val k4 = Seq(
+    ("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s"),
+    ("s", "t")
+  ).toDF("src", "dst")
+
+  test("triangles: K4 yields its 4 triangles, each corner in 3") {
+    val tri = Triangles.triangles(k4).as[(String, String, String)].collect().toSet
+    assert(tri === Set(("p", "q", "r"), ("p", "q", "s"), ("p", "r", "s"), ("q", "r", "s")))
+    val per = Triangles.perNode(k4).as[(String, Long)].collect().toMap
+    assert(per === Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L)) // t: none
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges don't change the count") {
+    val noisy = k4.unionAll(Seq(("q", "p"), ("p", "p"), ("p", "q")).toDF("src", "dst"))
+    assert(Triangles.triangles(noisy).count() === 4)
+  }
+
+  test("triangles: a triangle-free graph (star) yields zero rows") {
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    assert(Triangles.perNode(star).count() === 0)
+  }
+
+  test("label propagation: converges to per-component min label") {
+    //  two components: {a,b,c,d} (min a) and {e,f} (min e); diameter 3 → 3 iters
+    val lbl = LabelPropagation.run(edges, iterations = 3)
+      .as[(String, String)].collect().toMap
+    assert(lbl === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e"))
+  }
+
+  test("label propagation: a single superstep only reaches direct neighbours") {
+    val chain = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("src", "dst")
+    val lbl = LabelPropagation.run(chain, iterations = 1)
+      .as[(String, String)].collect().toMap
+    assert(lbl === Map("1" -> "1", "2" -> "1", "3" -> "2", "4" -> "3"))
+  }
+
+  test("neighborhood jaccard: exact ratios and the s1<s2 canonical order") {
+    val bip = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),          // deg(1)=3
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L), // deg(2)=4, ∩(1,2)=3
+      (3L, 13L)                                  // deg(3)=1, ∩(2,3)=1
+    ).toDF("src", "feat")
+    val out = NodeSimilarity.jaccard(bip, minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 3L, 0.75))) // 3/(3+4-3); (2,3) below minCommon
+  }
+
+  test("neighborhood jaccard: hot features above maxFeatureDeg are ignored") {
+    val bip = Seq(
+      (1L, 99L), (2L, 99L), (3L, 99L),  // feature 99 touches everyone → dropped
+      (1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L)
+    ).toDF("src", "feat")
+    val out = NodeSimilarity.jaccard(bip, minCommon = 2, maxFeatureDeg = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1.0))) // only feats 10,11 survive
+  }
 }
