@@ -390,6 +390,68 @@ object RelationalQueries {
               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** q82 — CUBE (full grouping-set lattice; q16 covers the ROLLUP prefix
+    * chain): events by type × hour with the grouping mask derived from
+    * key null-ness (both grouping keys are non-null in the data, so the
+    * mask is unambiguous and engine-neutral — no grouping_id() dialect
+    * dependence). Partial hash aggregates feed every lattice level;
+    * Catalyst expands to a single Expand + Aggregate, one shuffle. */
+  private val q82: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("hr", hour(col("ts")).cast("long"))
+      .cube(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hr"), lit(-1L)).as("hr"),
+        (col("event_type").isNull.cast("int") * 2 +
+          col("hr").isNull.cast("int")).as("g"),
+        col("n"), col("sum_v"))
+      .orderBy(col("g"), col("event_type"), col("hr"))
+  }
+
+  private val q82Sql =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+              coalesce(hr, -1) AS hr,
+              (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+               + CASE WHEN hr IS NULL THEN 1 ELSE 0 END) AS g,
+              count(*) AS n, round(sum(value), 2) AS sum_v
+       FROM (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, value
+             FROM events)
+       GROUP BY CUBE(event_type, hr)
+       ORDER BY g, event_type, hr"""
+
+  /** q83 — grouped z-score normalization (feature standardization, the
+    * per-stratum scaling step of a feature pipeline): order totals
+    * standardized within the customer's market segment. Group stats come
+    * from ONE partial-aggregate pass and broadcast back — no WindowExec
+    * (a per-segment window would sort each segment on one executor; the
+    * broadcast join keeps the fact side pipelined and shuffle-free after
+    * the orders⋈customer equi-join). */
+  private val q83: Q = (s, dir) => {
+    val oc = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+    val stats = oc.groupBy(col("c_mktsegment"))
+      .agg(avg(col("o_totalprice")).as("mu"),
+        stddev_samp(col("o_totalprice")).as("sigma"))
+    oc.join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round((col("o_totalprice") - col("mu")) / col("sigma"), 6).as("z"))
+  }
+
+  private val q83Sql =
+    """WITH oc AS (SELECT o_orderkey, c_mktsegment, o_totalprice
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+            st AS (SELECT c_mktsegment, avg(o_totalprice) AS mu,
+                          stddev_samp(o_totalprice) AS sigma
+                   FROM oc GROUP BY c_mktsegment)
+       SELECT o_orderkey, c_mktsegment,
+              round((o_totalprice - mu) / sigma, 6) AS z
+       FROM oc JOIN st USING (c_mktsegment)"""
+
   val defs: Map[String, Q] = Map(
     "q17_pivot"                  -> q17,
     "q01_pricing_summary"        -> q01,
@@ -409,6 +471,8 @@ object RelationalQueries {
     "q14_sessionize"             -> q14,
     "q15_edge_id_mapping"        -> q15,
     "q16_rollup"                 -> q16,
+    "q82_cube"                   -> q82,
+    "q83_zscore"                 -> q83,
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +494,7 @@ object RelationalQueries {
     "q10_grouped_evidence_vote"  -> q10Sql,
     "q11_hourly_rollup"          -> q11Sql,
     "q12_edge_inversion"         -> q12Sql,
+    "q82_cube"                   -> q82Sql,
+    "q83_zscore"                 -> q83Sql,
   )
 }

@@ -473,6 +473,58 @@ object TextQueries {
        FROM sh WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q84 — sliding-window token chunking (RAG / context-window packing):
+    * 64-token windows every 48 tokens (16-token overlap). The slice is
+    * taken inside the explode, so a row carries its window, not the whole
+    * document (see [[graft.text.Chunker]]). */
+  private val q84: Q = (s, dir) =>
+    graft.text.Chunker.slidingChunks(
+      Tables.documents(s, dir), "doc_id", "text", size = 64, stride = 48)
+
+  private val q84Sql =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT doc_id, toks,
+                         unnest(range(((len(toks) - 1) // 48) + 1)) AS cidx
+                  FROM d)
+       SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+              CAST(least(64, len(toks) - cidx * 48) AS BIGINT) AS n_tok,
+              toks[cidx * 48 + 1] AS first_tok,
+              toks[cidx * 48 + least(64, len(toks) - cidx * 48)] AS last_tok
+       FROM c"""
+
+  /** q85 — token-level Shannon entropy per document (unigram diversity:
+    * the repetition/compressibility quality signal; boilerplate and
+    * low-entropy spam score low). One explode → two partial-aggregate
+    * passes; p·ln p terms are bit-identical across engines (exact long
+    * ratios through libm ln), the summation order is not — hence the
+    * house round-the-sum rule. */
+  private val q85: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val t = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val c = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = c.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("cnt") / col("n")
+    c.join(n, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+      .agg(round((-sum(p * log(p))) / lit(math.log(2.0)), 6).as("entropy"))
+      .select(col("doc_id"), col("n"), col("n_distinct"), col("entropy"))
+  }
+
+  private val q85Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+            n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                         count(*) AS n_distinct
+                  FROM c GROUP BY 1)
+       SELECT c.doc_id, n.n, n.n_distinct,
+              round((-sum((cnt / n.n) * ln(cnt / n.n))) / ln(2), 6) AS entropy
+       FROM c JOIN n ON c.doc_id = n.doc_id
+       GROUP BY c.doc_id, n.n, n.n_distinct"""
+
   val defs: Map[String, Q] = Map(
     "q40_ivf_ann"            -> q40,
     "q50_decontam"           -> q50,
@@ -489,6 +541,8 @@ object TextQueries {
     "q38_embedding_neardup"  -> q38,
     "q39_multimodal_stub"    -> q39,
     "q46_winnowing_dedup"    -> q46,
+    "q84_chunking"           -> q84,
+    "q85_token_entropy"      -> q85,
   )
 
   val oracles: Map[String, String] = Map(
@@ -507,5 +561,7 @@ object TextQueries {
     "q46_winnowing_dedup"    -> q34Sql, // same exact truth as q34/q35
     "q50_decontam"           -> decontamSql,
     "q42_curation_pipeline"  -> q42Sql,
+    "q84_chunking"           -> q84Sql,
+    "q85_token_entropy"      -> q85Sql,
   )
 }

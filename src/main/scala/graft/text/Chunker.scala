@@ -58,4 +58,37 @@ object Chunker {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ")).as("digest"))
   }
+
+  /** Sliding-window token chunking — the RAG / context-window packing
+    * shape (fixed `size`-token windows every `stride` tokens, overlap =
+    * size − stride), complementing [[cdcChunks]]' content-defined
+    * boundaries. Start offsets are 0, stride, 2·stride, … while they
+    * still index a token; blank documents yield no chunks.
+    *
+    * The window slice is taken INSIDE the explode lambda, so each output
+    * row carries only its ≤`size`-token window, never a copy of the whole
+    * document's token array — at 100 TB the fan-out cost is the chunk
+    * text itself. Pure codegen'd array functions, no UDF, no shuffle
+    * (a per-row flatMap: the input's partitioning survives untouched).
+    * Returns the id column plus (chunk_idx, n_tok, first_tok, last_tok).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks: Column = TextOps.tokens(col(textCol))
+    val arrSize = org.apache.spark.sql.functions.size _ // `size` is a param here
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), floor((arrSize(toks) - lit(1)) / lit(stride)).cast("int")),
+          i => struct(
+            i.cast("long").as("cidx"),
+            slice(toks, i * stride + 1, lit(size)).as("chunk")))).as("c"))
+      .select(col(idCol),
+        col("c.cidx").as("chunk_idx"),
+        arrSize(col("c.chunk")).cast("long").as("n_tok"),
+        element_at(col("c.chunk"), 1).as("first_tok"),
+        element_at(col("c.chunk"), -1).as("last_tok"))
+  }
 }

@@ -43,4 +43,33 @@ class ChunkerSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(byDoc == Set(3L))
   }
+
+  private def sliding(text: String, size: Int, stride: Int) =
+    Chunker.slidingChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", size, stride)
+      .as[(Long, Long, Long, String, String)].collect().toSeq.sortBy(_._2)
+
+  test("sliding: windows overlap by size minus stride and the tail is short") {
+    // 7 tokens, size 4, stride 3 → starts 0, 3, 6
+    assert(sliding("t0 t1 t2 t3 t4 t5 t6", 4, 3) === Seq(
+      (1L, 0L, 4L, "t0", "t3"),
+      (1L, 1L, 4L, "t3", "t6"),
+      (1L, 2L, 1L, "t6", "t6")))
+  }
+
+  test("sliding: an exact multiple leaves no dangling start") {
+    // 6 tokens, size 3, stride 3 → starts 0, 3 only
+    assert(sliding("a b c d e f", 3, 3).map(_._2) === Seq(0L, 1L))
+  }
+
+  test("sliding: blank documents yield no chunks") {
+    assert(sliding("   ", 4, 2).isEmpty)
+  }
+
+  test("sliding: stride wider than size is rejected") {
+    intercept[IllegalArgumentException] {
+      Chunker.slidingChunks(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 2, stride = 3)
+    }
+  }
 }
