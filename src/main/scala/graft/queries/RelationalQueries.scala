@@ -452,6 +452,121 @@ object RelationalQueries {
               round((o_totalprice - mu) / sigma, 6) AS z
        FROM oc JOIN st USING (c_mktsegment)"""
 
+  /** q86 — SCD type-2 history (MERGE INTO's batch twin): the orders
+    * snapshot plus two synthetic change feeds (every 7th order re-priced
+    * at +30 days; every 14th order re-sent UNCHANGED at +60 days — the
+    * no-op echo the compaction must drop). Exact-input derived price →
+    * tie-stable rounding. See [[graft.operators.Scd2]]. */
+  private val q86: Q = (s, dir) => {
+    import graft.functions.StableRound.tieStableRound
+    val o = Tables.orders(s, dir)
+    val base = o.select(col("o_orderkey"), col("o_orderdate").as("eff_ts"),
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    def feed(mod: Int, days: Int) = o.filter(col("o_orderkey") % mod === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("eff_ts"),
+        lit("X").as("status"),
+        tieStableRound(col("o_totalprice") * 1.1, 2).as("price"))
+    graft.operators.Scd2.history(
+        base.unionByName(feed(7, 30)).unionByName(feed(14, 60)),
+        "o_orderkey", "eff_ts", Seq("status", "price"))
+      .select(col("o_orderkey"), col("status"), col("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  private val q86Sql = {
+    val priced = graft.functions.StableRound.sql("o_totalprice * 1.1", 2)
+    s"""WITH base AS (SELECT o_orderkey, o_orderdate AS eff_ts,
+                             o_orderstatus AS status, o_totalprice AS price
+                      FROM orders),
+            u1 AS (SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY,
+                          'X', $priced FROM orders WHERE o_orderkey % 7 = 0),
+            u2 AS (SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY,
+                          'X', $priced FROM orders WHERE o_orderkey % 14 = 0),
+            r AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+                  UNION ALL SELECT * FROM u2),
+            g AS (SELECT r.*, row_number() OVER w AS rn,
+                         lag(status) OVER w AS ps, lag(price) OVER w AS pp
+                  FROM r WINDOW w AS (PARTITION BY o_orderkey ORDER BY eff_ts)),
+            chg AS (SELECT * FROM g
+                    WHERE rn = 1 OR ps IS DISTINCT FROM status
+                                 OR pp IS DISTINCT FROM price),
+            v AS (SELECT o_orderkey, status, price, eff_ts AS valid_from,
+                         lead(eff_ts) OVER (PARTITION BY o_orderkey
+                                            ORDER BY eff_ts) AS valid_to
+                  FROM chg)
+       SELECT o_orderkey, status, price, valid_from, valid_to,
+              valid_to IS NULL AS is_current
+       FROM v"""
+  }
+
+  /** q87 — conversion funnel: first view → first click at-or-after it →
+    * first purchase at-or-after that, per user. Three partial-aggregate
+    * passes chained by broadcast-size joins (the per-user stage tables
+    * shrink monotonically); `stage` counts completed steps. */
+  private val q87: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("stage"))
+  }
+
+  private val q87Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                  GROUP BY e.user_id)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+              (1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+       FROM v LEFT JOIN c ON v.user_id = c.user_id
+              LEFT JOIN p ON v.user_id = p.user_id"""
+
+  /** q88 — cohort retention: users bucketed by first-seen week, activity
+    * counted per (cohort, weeks-since) cell. Both week truncations are
+    * Monday-start in both engines; the offset division is exact (both
+    * ends are week-truncated instants). */
+  private val q88: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .select(col("cohort"),
+        ((unix_micros(col("wk")) - unix_micros(col("cohort")))
+          / lit(604800000000L)).cast("long").as("week_no"))
+      .groupBy(col("cohort"), col("week_no"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q88Sql =
+    """WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                       FROM events GROUP BY user_id),
+            active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                       FROM events)
+       SELECT c.cohort,
+              (epoch_us(a.wk) - epoch_us(c.cohort)) // 604800000000 AS week_no,
+              count(*) AS n_users
+       FROM active a JOIN cohort c ON a.user_id = c.user_id
+       GROUP BY 1, 2"""
+
   val defs: Map[String, Q] = Map(
     "q17_pivot"                  -> q17,
     "q01_pricing_summary"        -> q01,
@@ -473,6 +588,9 @@ object RelationalQueries {
     "q16_rollup"                 -> q16,
     "q82_cube"                   -> q82,
     "q83_zscore"                 -> q83,
+    "q86_scd2_history"           -> q86,
+    "q87_funnel"                 -> q87,
+    "q88_cohort_retention"       -> q88,
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +614,8 @@ object RelationalQueries {
     "q12_edge_inversion"         -> q12Sql,
     "q82_cube"                   -> q82Sql,
     "q83_zscore"                 -> q83Sql,
+    "q86_scd2_history"           -> q86Sql,
+    "q87_funnel"                 -> q87Sql,
+    "q88_cohort_retention"       -> q88Sql,
   )
 }
