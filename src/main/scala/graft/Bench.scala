@@ -195,12 +195,31 @@ object Bench {
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
+    val loadAfter = load1()
     val json = emitJson(dedupCurve, winnowSmokeSec, substringSmokeSec, mergeSmoke,
-      load1(), partial = false)
-    println(json)
-    // the driver's stdout capture keeps only a tail — the file is the
-    // canonical artifact (overwrites the pre-smoke partial write)
+      loadAfter, partial = false)
+    // The file is the canonical artifact (overwrites the pre-smoke partial
+    // write) and carries the FULL per-query median/min/max maps.
     writeArtifact(json)
+    // The driver's stdout capture keeps only the last ~2000 characters, so
+    // the full JSON line (86 queries × 3 maps ≈ 8 KB) arrives truncated and
+    // unparseable — every prior round's BENCH_r{N}.json has "parsed": null.
+    // Print a COMPACT line instead: same headline fields and contamination
+    // signals, but only the slowest queries inline; the full map lives in
+    // bench.json. Budget ≤ ~1700 chars so sbt's trailing "[success]" line
+    // still leaves the whole JSON inside the tail window.
+    val cpus = math.max(Runtime.getRuntime.availableProcessors(), benchCpus)
+    val probeSpread =
+      if (probes.size < 2 || probes.min <= 0) 1.0 else probes.max / probes.min
+    val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus ||
+      probeSpread > 2.0
+    def r3(d: Double): String = f"$d%.3f"
+    val slow = results.filter(_._5.isEmpty).sortBy(-_._2).take(40)
+      .map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head)},"dedup_curve_sec":[${dedupCurve.map(r3).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
+    println(compact)
     if (smokeSpark != null) smokeSpark.stop()
   }
 }

@@ -150,6 +150,26 @@ object Sampling {
     sharded.withColumn(seqCol, row_number().over(w).cast("long"))
   }
 
+  /** Equal-allocation stratified sampling: the `n` hash-smallest rows of
+    * every stratum — a deterministic "n examples per class" selector
+    * (eval-set construction, per-domain probes) that no single stratum
+    * can dominate. Order inside a stratum is (md5(key), key): content-
+    * addressed, so re-runs and corpus growth keep earlier picks stable
+    * until displaced by hash order. Adds `rankCol`.
+    *
+    * Scale shape: one hash-partitioned window per stratum with a rank
+    * filter Spark rewrites to WindowGroupLimit (partial top-n BEFORE the
+    * shuffle), so a billion-row stratum ships only n·partitions rows —
+    * not the stratum — to the window sort. */
+  def stratifiedTopN(df: DataFrame, strata: Column, key: Column, n: Int,
+                     rankCol: String = "strat_rank"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata).orderBy(md5Prefix(key, 8).asc, key.asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+  }
+
   /** Greedy sequence packing: assign each document (in `orderKey` order)
     * to the fixed-size training bin where its FIRST token lands —
     * `bin = floor(exclusive_prefix / binTokens)`. Contiguous docs fill a

@@ -364,7 +364,87 @@ object AnalyticsQueries {
     s"$base,\n$iters\nSELECT node, lbl FROM l4"
   }
 
+  /** q91 — first-order Markov transition matrix over the event stream:
+    * per-user event sequences (timestamp ties collapsed to the max-id
+    * event so the order is total), lag-window transitions, and per-state
+    * transition probabilities. The classic session-path / user-journey
+    * summary; windows partition by user, never globally. */
+  private val q91: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("event_type"), col("event_id")).as("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val trans = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = trans
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.functions.StableRound.tieStableRound(
+          col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+  }
+
+  private val q91Sql = {
+    val p = graft.functions.StableRound.sql(
+      "CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)", 6)
+    s"""WITH e AS (SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+                   FROM events GROUP BY 1, 2),
+            tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_type,
+                          event_type AS to_type
+                   FROM e),
+            c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                  FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       SELECT c.from_type, c.to_type, c.n, $p AS p
+       FROM c JOIN t USING (from_type)"""
+  }
+
+  /** q92 — robust outlier detection per group: median and MAD (median
+    * absolute deviation), outliers flagged beyond 3·1.4826·MAD — the
+    * scale-resistant alternative to z-scores (q83) that one wild value
+    * cannot drag. Median/MAD are tie-stable-rounded BEFORE the deviation
+    * and threshold comparisons, so both engines compare identical
+    * doubles. Exact percentile per group here; the 100 TB path swaps in
+    * approx_percentile (t-digest, mergeable, bounded state). */
+  private val q92: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val med = ev.groupBy(col("event_type"))
+      .agg(graft.functions.StableRound.tieStableRound(
+        expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(graft.functions.StableRound.tieStableRound(
+        expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), lit(1L))
+          .otherwise(lit(0L))).as("n_out"))
+  }
+
+  private val q92Sql =
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+            med AS (SELECT event_type,
+                           floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS med
+                    FROM ev GROUP BY 1),
+            d AS (SELECT ev.event_type, med.med, abs(ev.value - med.med) AS dev
+                  FROM ev JOIN med USING (event_type)),
+            md AS (SELECT event_type,
+                          floor(quantile_cont(dev, 0.5) * 1000000 + 0.5) / 1000000 AS mad
+                   FROM d GROUP BY 1)
+       SELECT d.event_type, d.med, md.mad, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+       FROM d JOIN md USING (event_type)
+       GROUP BY 1, 2, 3"""
+
   val defs: Map[String, Q] = Map(
+    "q91_markov_transitions" -> q91,
+    "q92_mad_outliers" -> q92,
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
     "q73_khop_reach" -> q73,
@@ -378,6 +458,8 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q91_markov_transitions" -> q91Sql,
+    "q92_mad_outliers" -> q92Sql,
     "q71_asof_join"  -> q71Sql,
     "q72_range_join" -> q72Sql,
     "q73_khop_reach" -> q73Sql,

@@ -230,8 +230,28 @@ object SamplingQueries {
        FROM g JOIN f USING (gram)
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** q93 — equal-allocation stratified sample: the 20 hash-smallest
+    * parts per brand (content-addressed md5 order, ties by key). The
+    * rank filter compiles to WindowGroupLimit — partial top-n before the
+    * shuffle — so no stratum's size reaches the window sort. */
+  private val q93: Q = (s, dir) =>
+    Sampling.stratifiedTopN(
+        Tables.part(s, dir).select(col("p_brand"), col("p_partkey")),
+        col("p_brand"), col("p_partkey"), n = 20)
+      .orderBy(col("p_brand"), col("strat_rank"))
+
+  private val q93Sql =
+    """SELECT p_brand, p_partkey, strat_rank FROM (
+         SELECT p_brand, p_partkey,
+                CAST(row_number() OVER (PARTITION BY p_brand
+                  ORDER BY substring(md5(CAST(p_partkey AS VARCHAR)), 1, 8) ASC,
+                           p_partkey ASC) AS INTEGER) AS strat_rank
+         FROM part)
+       WHERE strat_rank <= 20 ORDER BY p_brand, strat_rank"""
+
   val defs: Map[String, Q] = Map(
     "q57_fluency"      -> q57,
+    "q93_stratified_sample" -> q93,
     "q51_pii_scrub"    -> q51,
     "q52_hash_split"   -> q52,
     "q53_token_budget" -> q53,
@@ -248,5 +268,6 @@ object SamplingQueries {
     "q55_repetition"   -> q55Sql,
     "q56_seq_packing"  -> q56Sql,
     "q57_fluency"      -> q57Sql,
+    "q93_stratified_sample" -> q93Sql,
   )
 }

@@ -96,15 +96,18 @@ object Quantize {
                     k: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // self-norms are per-SIDE quantities: fold them once per query (|Q|
+    // rows) and once per corpus row (n rows) BEFORE the |Q|·n join, not
+    // per pair — at 5000×50 pairs that is 3× fewer 64-element folds
     val q = queries.select(col(idCol).as("query_id"),
-      centeredEncode(col(vecCol), cb).as("q_code"))
+        centeredEncode(col(vecCol), cb).as("q_code"))
+      .withColumn("qna", codeDot(col("q_code"), col("q_code")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      centeredEncode(col(vecCol), cb).as("c_code"))
+        centeredEncode(col(vecCol), cb).as("c_code"))
+      .withColumn("qnb", codeDot(col("c_code"), col("c_code")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", codeDot(col("q_code"), col("c_code")))
-      .withColumn("qna", codeDot(col("q_code"), col("q_code")))
-      .withColumn("qnb", codeDot(col("c_code"), col("c_code")))
       .withColumn("qcos",
         when(col("qna") === 0 || col("qnb") === 0, lit(0.0))
           .otherwise(col("qdot").cast("double") /

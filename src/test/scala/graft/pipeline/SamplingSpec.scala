@@ -189,6 +189,27 @@ class SamplingSpec extends SparkSpec {
     assert(heavy > 75, s"heavy rows under-sampled: $heavy/100")
   }
 
+  test("stratifiedTopN keeps exactly n hash-smallest rows per stratum") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (i.toLong, s"s${i % 3}")).toDF("k", "stratum")
+    val kept = Sampling.stratifiedTopN(df, col("stratum"), col("k"), n = 25)
+    assert(kept.count() == 75)
+    assert(kept.groupBy("stratum").count().as[(String, Long)].collect()
+      .forall(_._2 == 25L))
+    // deterministic + stable under growth: the original picks survive
+    // unless displaced by hash order, never by row order
+    val before = kept.select("k").as[Long].collect().toSet
+    val grown = df.union(Seq((1000L, "s0")).toDF("k", "stratum"))
+    val after = Sampling.stratifiedTopN(grown, col("stratum"), col("k"), 25)
+      .select("k").as[Long].collect().toSet
+    assert((before -- after).size <= 1)
+    // plan check: the rank filter must compile to a WindowGroupLimit
+    // (partial top-n before the shuffle), not a full per-stratum sort
+    val plan = Sampling.stratifiedTopN(df, col("stratum"), col("k"), 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
+
   test("weightedTopK is deterministic and content-addressed") {
     import spark.implicits._
     val df = (0 until 300).map(i => (i.toLong, 1.0 + i % 7)).toDF("doc_id", "w")
