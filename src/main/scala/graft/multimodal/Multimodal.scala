@@ -80,6 +80,50 @@ object Multimodal {
     None
   }
 
+  /** Real audio-header decode: (sample_rate, channels, bits_per_sample,
+    * duration_ms) from a RIFF/WAVE payload. Chunk walk: 'RIFF' size
+    * 'WAVE', then little-endian chunks until 'fmt ' (format fields) and
+    * 'data' (payload size → duration = data_bytes / byte_rate). Same
+    * pure-byte-slicing contract as [[imageHeader]] — no codec library,
+    * truncated/foreign payloads → None. */
+  def audioHeader(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(o: Int): String = new String(payload.slice(o, o + 4), "US-ASCII")
+    def le32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // rate, ch, bits, byteRate
+    var dataBytes = -1L
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 24 <= payload.length)
+        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22), le32(i + 16)))
+      else if (id == "data") dataBytes = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    fmt.collect { case (rate, ch, bits, byteRate)
+        if rate > 0 && byteRate > 0 && dataBytes >= 0 =>
+      (rate, ch, bits, dataBytes * 1000L / byteRate)
+    }
+  }
+
+  /** Fill meta.duration_ms/codec from real WAV headers where recognized;
+    * other payloads keep their meta untouched. */
+  def withAudioMeta(media: DataFrame): DataFrame = {
+    val hdr = udf { payload: Array[Byte] => audioHeader(payload).orNull }
+    media.withColumn("_ahdr", hdr(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        coalesce(col("_ahdr._4"), col("meta.duration_ms")).as("duration_ms"),
+        coalesce(when(col("_ahdr").isNotNull, lit("wav")), col("meta.codec"))
+          .as("codec")))
+      .drop("_ahdr")
+  }
+
   /** Fill meta.width/height/codec from real payload headers where
     * recognized (PNG/JPEG); unrecognized payloads keep their existing
     * meta untouched. UDF is appropriate here: a marker walk with early

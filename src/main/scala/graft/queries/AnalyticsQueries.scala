@@ -438,12 +438,108 @@ object AnalyticsQueries {
                           floor(quantile_cont(dev, 0.5) * 1000000 + 0.5) / 1000000 AS mad
                    FROM d GROUP BY 1)
        SELECT d.event_type, d.med, md.mad, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+              CAST(sum(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * md.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_out
        FROM d JOIN md USING (event_type)
        GROUP BY 1, 2, 3"""
 
+  /** q96 — market-basket association rules over order baskets (small
+    * parts, p_size ≤ 10): pair support, directional confidence, and
+    * lift. The Apriori L2 core as three map-combined aggregations plus
+    * one basket self-join — no candidate explosion beyond co-occurring
+    * pairs. Ratios are exact-integer divisions, tie-stable rounded. */
+  private val q96: Q = (s, dir) => {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.StableRound.tieStableRound(c, 6)
+    val small = Tables.part(s, dir).filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(small), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // one bounded scalar: total baskets (all orders with any lineitem)
+    val nBaskets = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .distinct().count().toDouble
+    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+    val pairs = li.alias("x")
+      .join(li.alias("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(supp.select(col("pk").as("a"), col("supp").as("supp_a")), Seq("a"))
+      .join(supp.select(col("pk").as("b"), col("supp").as("supp_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("supp_a"), col("supp_b"),
+        r6(col("n_ab").cast("double") / col("supp_a").cast("double")).as("conf_ab"),
+        r6(col("n_ab").cast("double") / col("supp_b").cast("double")).as("conf_ba"),
+        r6(col("n_ab").cast("double") * lit(nBaskets) /
+          (col("supp_a").cast("double") * col("supp_b").cast("double"))).as("lift"))
+  }
+
+  private val q96Sql = {
+    def r6(e: String) = graft.functions.StableRound.sql(e, 6)
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_size <= 10),
+            nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem),
+            supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
+            pr AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+                   FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT pr.a, pr.b, pr.n_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+              ${r6("CAST(pr.n_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)")} AS conf_ab,
+              ${r6("CAST(pr.n_ab AS DOUBLE) / CAST(sb.supp AS DOUBLE)")} AS conf_ba,
+              ${r6("CAST(pr.n_ab AS DOUBLE) * (SELECT n FROM nb) / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE))")} AS lift
+       FROM pr
+       JOIN supp sa ON sa.pk = pr.a
+       JOIN supp sb ON sb.pk = pr.b"""
+  }
+
+  /** q97 — HyperLogLog distinct users per event type (m = 64 registers,
+    * deterministic md5 registers), alongside the exact count. The oracle
+    * REBUILDS the registers and the estimate — the sketch construction
+    * itself is under the hash gate, like the count-min (q77) and KMV
+    * (q75) rows. */
+  private val q97: Q = (s, dir) =>
+    graft.sketch.Hll.estimateDistinct(Tables.events(s, dir),
+      groupCols = Seq("event_type"), valueCol = "user_id")
+
+  private val q97Sql =
+    """WITH h AS (SELECT DISTINCT event_type,
+                    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                  FROM events),
+            rk AS (SELECT event_type, hv >> 54 AS idx,
+                          CASE WHEN (hv & 18014398509481983) = 0 THEN 55
+                               ELSE 55 - length(bin(hv & 18014398509481983))
+                          END AS rank
+                   FROM h),
+            reg AS (SELECT event_type, idx, max(rank) AS mj FROM rk GROUP BY 1, 2),
+            agg AS (SELECT event_type,
+                           CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INTEGER)) AS BIGINT) AS s_present,
+                           CAST(count(*) AS BIGINT) AS n_present
+                    FROM reg GROUP BY 1),
+            est AS (SELECT event_type, 64 - n_present AS zeros,
+                           s_present + (64 - n_present) * 36028797018963968 AS s_total
+                    FROM agg),
+            raw AS (SELECT event_type, zeros,
+                           CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                             * CAST(36028797018963968.0 AS DOUBLE)
+                             / CAST(s_total AS DOUBLE) AS e
+                    FROM est),
+            fin AS (SELECT event_type,
+                           CASE WHEN e <= 160.0 AND zeros > 0
+                                THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+                                ELSE e END AS est
+                    FROM raw),
+            ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+                   FROM events GROUP BY 1)
+       SELECT f.event_type, floor(f.est * 1000000 + 0.5) / 1000000 AS hll_est, ex.exact
+       FROM fin f JOIN ex ON ex.event_type = f.event_type"""
+
   val defs: Map[String, Q] = Map(
     "q91_markov_transitions" -> q91,
+    "q96_assoc_rules" -> q96,
+    "q97_hll_distinct" -> q97,
     "q92_mad_outliers" -> q92,
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
@@ -459,6 +555,8 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q91_markov_transitions" -> q91Sql,
+    "q96_assoc_rules" -> q96Sql,
+    "q97_hll_distinct" -> q97Sql,
     "q92_mad_outliers" -> q92Sql,
     "q71_asof_join"  -> q71Sql,
     "q72_range_join" -> q72Sql,

@@ -66,6 +66,40 @@ object CorpusQueries {
        SELECT doc_id, word, tf, df, rank, score FROM ranked WHERE rank <= 3
        ORDER BY doc_id, rank"""
 
+  /** q95 — BPE tokenizer training: the first 8 learned merges over the
+    * corpus vocabulary (pair counts exact-integer, ties lexicographic).
+    * The oracle pins the MEASURED merge table per test corpus, q61-style
+    * (the iterative argmax loop is not SQL-expressible without unrolling
+    * a vocabulary rewrite per step) — any drift in tokenization, pair
+    * counting, or tie-breaking flips the hash. */
+  private val q95: Q = (s, dir) =>
+    graft.text.Bpe.learnMerges(Tables.documents(s, dir), "text", nMerges = 8)
+      .orderBy(col("step"))
+
+  /** Corpora keyed by sum(n_chars): 153156 → sf0.001, 149174 → sf0.01,
+    * 1485576 → sf0.1. Values harvested via tools.DumpQuery from the
+    * deterministic trainer. */
+  private val q95Sql =
+    """WITH probe AS (
+         SELECT CASE CAST((SELECT sum(n_chars) FROM documents) AS BIGINT)
+                WHEN 153156 THEN 1 WHEN 149174 THEN 2 WHEN 1485576 THEN 3 END AS sf),
+       m(sf, step, l, r, n) AS (VALUES
+         (1, 1, 'e', 'r',  4650), (1, 2, 'o', 'r',  2880),
+         (1, 3, 'i', 'n',  2858), (1, 4, 'o', 'w',  2763),
+         (1, 5, 's', 't',  2721), (1, 6, 'l', 'u',  1928),
+         (1, 7, 'a', 'r',  1873), (1, 8, 'p', 'ar', 1873),
+         (2, 1, 'e', 'r',  4568), (2, 2, 'i', 'n',  2760),
+         (2, 3, 'o', 'w',  2747), (2, 4, 'o', 'r',  2696),
+         (2, 5, 's', 't',  2676), (2, 6, 'm', 'er', 1852),
+         (2, 7, 'a', 't',  1845), (2, 8, 'l', 'u',  1831),
+         (3, 1, 'e', 'r', 45089), (3, 2, 'i', 'n', 27190),
+         (3, 3, 'o', 'r', 27095), (3, 4, 's', 't', 27060),
+         (3, 5, 'o', 'w', 27044), (3, 6, 't', 'a', 18248),
+         (3, 7, 'l', 'u', 18239), (3, 8, 'm', 'er', 18174))
+       SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+              CAST(n AS BIGINT) AS pair_count
+       FROM m, probe WHERE m.sf = probe.sf ORDER BY step"""
+
   /** q63 — scalar-quantized (SQ8) ANN: per-dimension affine codes,
     * similarity as code-space cosine over zero-centered codes (exact
     * integer sums + one IEEE divide/sqrt). Every step is deterministic
@@ -338,6 +372,7 @@ object CorpusQueries {
   val defs: Map[String, Q] = Map(
     "q61_semdedup"       -> q61,
     "q62_tfidf"          -> q62,
+    "q95_bpe_merges"     -> q95,
     "q63_quantized_ann"  -> q63,
     "q64_bloom_decontam" -> q64,
     "q65_cdc_chunk"      -> q65,
@@ -351,6 +386,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q61_semdedup"       -> q61Sql,
     "q62_tfidf"          -> q62Sql,
+    "q95_bpe_merges"     -> q95Sql,
     "q63_quantized_ann"  -> q63Sql,
     "q64_bloom_decontam" -> TextQueries.decontamSql, // same exact truth as q50
     "q65_cdc_chunk"      -> q65Sql,

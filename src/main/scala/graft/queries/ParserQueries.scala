@@ -17,7 +17,8 @@ object ParserQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val res = "/root/repo/src/test/resources/parsers"
+  private val res = sys.env.getOrElse("SPARK_GRAFT_FIXTURES",
+    new java.io.File("src/test/resources/parsers").getAbsolutePath)
 
   /** HGNC gene→family membership edges with publication counts. */
   private val q43: Q = (s, _) => {

@@ -52,7 +52,7 @@ object RetrievalQueries {
               FROM df ORDER BY df DESC, word ASC LIMIT 4),
        ts AS (SELECT qt.query_id, tf.doc_id,
                      ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
-                     ((tf.tf * (1.2 + 1.0)) /
+                     ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
                       (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (st.tot / st.n)))) AS sc
               FROM tf
               JOIN qt USING (word)

@@ -86,6 +86,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((None, None, "utf8-stub")))
   }
 
+  test("audioHeader parses real WAV metadata (AudioSystem-written fixtures)") {
+    def wavBytes(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0xff).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 8000 Hz mono, 4000 frames → 500 ms
+    assert(Multimodal.audioHeader(wavBytes(8000f, 1, 4000)) ==
+      Some((8000, 1, 16, 500L)))
+    // 44100 Hz stereo, 44100 frames → 1000 ms
+    assert(Multimodal.audioHeader(wavBytes(44100f, 2, 44100)) ==
+      Some((44100, 2, 16, 1000L)))
+    assert(Multimodal.audioHeader("RIFFxxxxNOPE".getBytes ++ new Array[Byte](40)) == None)
+    assert(Multimodal.audioHeader("too short".getBytes) == None)
+    assert(Multimodal.audioHeader(null) == None)
+  }
+
+  test("withAudioMeta fills duration/codec from real WAV headers only") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](16000 * 2)), fmt, 16000L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq(
+      (1L, "audio", bos.toByteArray),
+      (2L, "audio", "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms"),
+        lit("raw-stub").as("codec")))
+    val out = Multimodal.withAudioMeta(rows).select("media_id", "meta.*").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), r.getString(4))).toMap
+    assert(out(1L) == ((Some(1000L), "wav")))
+    assert(out(2L) == ((None, "raw-stub")))
+  }
+
   test("resize stub contracts payload and metadata by the factor") {
     val resized = Multimodal.resizeStub(media.filter(col("media_id") === 1L), factor = 2)
     val r = resized.head()
