@@ -536,10 +536,75 @@ object AnalyticsQueries {
        SELECT f.event_type, floor(f.est * 1000000 + 0.5) / 1000000 AS hll_est, ex.exact
        FROM fin f JOIN ex ON ex.event_type = f.event_type"""
 
+  /** q98 — exponential time-decay engagement score per user (half-life
+    * = 1 day): weight 2^−age_days, ages clamped at 50 so the weight
+    * stays an EXACT power of two and the per-user sum accumulates in
+    * integer units of 2^−50 — order-free, engine-free. Ages come from
+    * integer microsecond arithmetic (no timezone/date semantics in
+    * play). The classic feature-store recency feature, hash-exact. */
+  private val q98: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // one bounded scalar: the corpus' newest event timestamp
+    val refMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.StableRound.tieStableRound(c, 6)
+    ev
+      .withColumn("age", expr(s"($refMicros - unix_micros(ts)) div 86400000000"))
+      .withColumn("age", least(greatest(col("age"), lit(0L)), lit(50L)))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - age AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w")).as("decay_units"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("decay_units"), col("n_events"),
+        r6(col("decay_units").cast("double") / lit(1125899906842624.0))
+          .as("decay_score"))
+  }
+
+  private val q98Sql = {
+    val score = graft.functions.StableRound.sql(
+      "CAST(du AS DOUBLE) / CAST(1125899906842624.0 AS DOUBLE)", 6)
+    """WITH ref AS (SELECT max(epoch_us(ts)) AS rm FROM events),
+            e AS (SELECT user_id,
+                         least(greatest((ref.rm - epoch_us(ts)) // 86400000000, 0), 50) AS age
+                  FROM events, ref),
+            g AS (SELECT user_id,
+                         CAST(sum(CAST(1 AS BIGINT) << CAST(50 - age AS INTEGER)) AS BIGINT) AS du,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM e GROUP BY 1)
+       SELECT user_id, du AS decay_units, n_events, """ + score + """ AS decay_score
+       FROM g"""
+  }
+
+  /** q100 — equi-depth histogram: 8 ntile buckets of event value per
+    * type with (lo, hi, n) per bucket — the optimizer-statistics /
+    * drift-monitoring summary. Bucket boundaries are exact input values
+    * (no arithmetic), ntile order is total (value, event_id), so the
+    * histogram reproduces bit-for-bit. Windows partition per type. */
+  private val q100: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .withColumn("bucket", ntile(8).over(w))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q100Sql =
+    """SELECT event_type, bucket, min(value) AS lo, max(value) AS hi,
+              CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT event_type, event_id, value,
+                    CAST(ntile(8) OVER (PARTITION BY event_type
+                      ORDER BY value ASC, event_id ASC) AS INTEGER) AS bucket
+             FROM events WHERE value IS NOT NULL)
+       GROUP BY 1, 2"""
+
   val defs: Map[String, Q] = Map(
     "q91_markov_transitions" -> q91,
     "q96_assoc_rules" -> q96,
     "q97_hll_distinct" -> q97,
+    "q98_time_decay" -> q98,
+    "q100_equidepth_hist" -> q100,
     "q92_mad_outliers" -> q92,
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
@@ -557,6 +622,8 @@ object AnalyticsQueries {
     "q91_markov_transitions" -> q91Sql,
     "q96_assoc_rules" -> q96Sql,
     "q97_hll_distinct" -> q97Sql,
+    "q98_time_decay" -> q98Sql,
+    "q100_equidepth_hist" -> q100Sql,
     "q92_mad_outliers" -> q92Sql,
     "q71_asof_join"  -> q71Sql,
     "q72_range_join" -> q72Sql,

@@ -249,9 +249,26 @@ object SamplingQueries {
          FROM part)
        WHERE strat_rank <= 20 ORDER BY p_brand, strat_rank"""
 
+  /** q99 — k-anonymity audit (k = 5) over the quasi-identifier combo
+    * (nation, market segment): every equivalence class with its size and
+    * an at-risk flag — the standard re-identification screen run before
+    * releasing training data carrying demographic columns. One
+    * map-combined aggregation. */
+  private val q99: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < 5)
+
+  private val q99Sql =
+    """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+              count(*) < 5 AS at_risk
+       FROM customer GROUP BY 1, 2"""
+
   val defs: Map[String, Q] = Map(
     "q57_fluency"      -> q57,
     "q93_stratified_sample" -> q93,
+    "q99_k_anonymity"  -> q99,
     "q51_pii_scrub"    -> q51,
     "q52_hash_split"   -> q52,
     "q53_token_budget" -> q53,
@@ -269,5 +286,6 @@ object SamplingQueries {
     "q56_seq_packing"  -> q56Sql,
     "q57_fluency"      -> q57Sql,
     "q93_stratified_sample" -> q93Sql,
+    "q99_k_anonymity"  -> q99Sql,
   )
 }
