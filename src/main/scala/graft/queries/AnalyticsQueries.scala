@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.{Bfs, PageRank}
-import graft.operators.{AsofJoin, RangeJoin}
+import graft.operators.{AsofJoin, FuzzyJoin, RangeJoin, Skyline}
 import graft.sketch.Kmv
 
 /** Temporal joins, graph analytics, and sketch operators over the star
@@ -599,7 +599,89 @@ object AnalyticsQueries {
              FROM events WHERE value IS NOT NULL)
        GROUP BY 1, 2"""
 
+  /** q104 — blocked fuzzy self-join (PassJoin pigeonhole segments +
+    * Levenshtein verify, [[graft.operators.FuzzyJoin]]) over a sampled
+    * customer-name set. The oracle is the INDEPENDENT all-pairs
+    * construction with a length prefilter — so an exact-recall bug in
+    * the blocking (a missed candidate bucket) fails the hash gate, not
+    * just a spec. */
+  private val q104: Q = (s, dir) => {
+    val names = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 7 === 0).select(col("c_name"))
+    FuzzyJoin.selfJoin(names, "c_name", maxDist = 1)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+  }
+
+  private val q104Sql =
+    """WITH s AS (SELECT DISTINCT c_name FROM customer WHERE c_custkey % 7 = 0)
+       SELECT x.c_name AS a, y.c_name AS b,
+              CAST(levenshtein(x.c_name, y.c_name) AS INTEGER) AS dist
+       FROM s x JOIN s y
+         ON x.c_name < y.c_name
+        AND abs(length(x.c_name) - length(y.c_name)) <= 1
+       WHERE levenshtein(x.c_name, y.c_name) <= 1"""
+
+  /** q106 — rolling median-of-3 and mean-of-3 of each user's event
+    * values in time order (ties totalized by event_id). The median is a
+    * comparator network over (v, lag1, lag2) — NO percentile
+    * interpolation, no arithmetic, so it reproduces bit-for-bit; the
+    * mean is one fixed-order double sum, identical in both engines.
+    * Rows before the window fills are dropped (rn ≥ 3) so every window
+    * is exactly 3 values. Windows partition per user — never global. */
+  private val q106: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value").as("v"),
+        lag(col("value"), 1).over(w).as("v1"),
+        lag(col("value"), 2).over(w).as("v2"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") >= 3)
+      .select(col("user_id"), col("event_id"),
+        greatest(least(col("v"), col("v1")),
+          least(greatest(col("v"), col("v1")), col("v2"))).as("med3"),
+        ((col("v") + col("v1") + col("v2")) / lit(3.0)).as("mean3"))
+  }
+
+  private val q106Sql =
+    """WITH e AS (SELECT user_id, event_id, value AS v,
+                         lag(value, 1) OVER w AS v1,
+                         lag(value, 2) OVER w AS v2,
+                         row_number() OVER w AS rn
+                  FROM events WHERE value IS NOT NULL
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       SELECT user_id, event_id,
+              greatest(least(v, v1), least(greatest(v, v1), v2)) AS med3,
+              (v + v1 + v2) / 3.0 AS mean3
+       FROM e WHERE rn >= 3"""
+
+  /** q108 — skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) per
+    * brand: parts not dominated on (price ↓, size ↑). The engine side is
+    * the sorted cummax scan ([[graft.operators.Skyline]]); the oracle is
+    * the INDEPENDENT NOT-EXISTS dominance formulation. */
+  private val q108: Q = (s, dir) =>
+    Skyline.frontier(
+        Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice"), col("p_size")),
+        partition = Seq("p_brand"),
+        minimize = "p_retailprice", maximize = "p_size")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+
+  private val q108Sql =
+    """SELECT p_brand, p_partkey, p_retailprice, p_size
+       FROM part p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part q
+         WHERE q.p_brand = p.p_brand
+           AND q.p_retailprice <= p.p_retailprice
+           AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""
+
   val defs: Map[String, Q] = Map(
+    "q104_fuzzy_join" -> q104,
+    "q106_rolling_median" -> q106,
+    "q108_pareto_front" -> q108,
     "q91_markov_transitions" -> q91,
     "q96_assoc_rules" -> q96,
     "q97_hll_distinct" -> q97,
@@ -619,6 +701,9 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q104_fuzzy_join" -> q104Sql,
+    "q106_rolling_median" -> q106Sql,
+    "q108_pareto_front" -> q108Sql,
     "q91_markov_transitions" -> q91Sql,
     "q96_assoc_rules" -> q96Sql,
     "q97_hll_distinct" -> q97Sql,
