@@ -328,4 +328,43 @@ object Dedup {
     hashed.unpersist()
     out
   }
+
+  /** Directional n-gram containment (Broder's C(A,B) = |A∩B| / |A|) for
+    * every pair sharing a shingle — the asymmetric near-dup signal that
+    * Jaccard misses: a document PASTED INSIDE a larger one has high
+    * containment but low Jaccard, so sub-document duplication (quote
+    * farms, boilerplate wrappers) needs this score. Same inverted-index
+    * + dfCap skew-guard shape as [[ngramJaccardPairs]]; emits both
+    * directions (cont_ab = share of A's shingles inside B), keeping
+    * pairs where EITHER direction clears `minContainment`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.5,
+                       dfCap: Int = 100): DataFrame = {
+    val r4 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.StableRound.tieStableRound(c, 4)
+    val docs = graft.scale.Skew.ensureParallelism(df)
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.distinctShingleHashes(
+          TextOps.tokens(col(textCol)), shingleN).as("shingles"))
+      .withColumn("n_shingles", size(col("shingles")))
+      .filter(col("n_shingles") > 0)
+    val inverted = docs
+      .select(col("id"), col("n_shingles"), explode(col("shingles")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = inverted.groupBy("shingle").count().filter(col("count") > dfCap).select("shingle")
+    val cold = inverted.join(hot, Seq("shingle"), "left_anti")
+    val a = cold.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("n_a"))
+    val b = cold.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("n_b"))
+    val out = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("cont_ab", r4(col("n_common").cast("double") / col("n_a").cast("double")))
+      .withColumn("cont_ba", r4(col("n_common").cast("double") / col("n_b").cast("double")))
+      .filter(col("cont_ab") >= minContainment || col("cont_ba") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("cont_ab"), col("cont_ba"))
+      .localCheckpoint()
+    inverted.unpersist()
+    out
+  }
 }

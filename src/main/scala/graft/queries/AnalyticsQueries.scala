@@ -678,10 +678,58 @@ object AnalyticsQueries {
            AND q.p_size >= p.p_size
            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""
 
+  /** q110 — quantile (percent-rank) feature normalization per language:
+    * the rank-based score calibration used to make per-source quality
+    * scores comparable before mixing. Total order (n_chars, doc_id) →
+    * no rank ties → (rank−1)/(n−1) is an exact-integer ratio both
+    * engines compute identically. Windows partition per lang. */
+  private val q110: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.StableRound.tieStableRound(percent_rank().over(w), 6)
+          .as("pr"))
+  }
+
+  private val q110Sql = {
+    val pr = graft.functions.StableRound.sql(
+      "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)", 6)
+    s"""SELECT doc_id, lang, n_chars, $pr AS pr FROM documents"""
+  }
+
+  /** q112 — k-core decomposition (Seidman 1983) of the small-part supply
+    * graph: 4 synchronous peel rounds at k = 2 ([[graft.graph.KCore]]).
+    * Oracle: the peels unrolled into materialized chained CTEs — the
+    * same construction discipline as q81's label propagation. */
+  private val q112: Q = (s, dir) =>
+    graft.graph.KCore.run(smallSupplyEdges(s, dir), k = 2, rounds = 4)
+
+  private val q112Sql: String = {
+    val base =
+      """WITH ed AS MATERIALIZED (
+           SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
+           FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
+           UNION SELECT DISTINCT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+           UNION SELECT DISTINCT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation),
+         e0 AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed)"""
+    val rounds = (1 to 4).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 2),
+          e$i AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e${i - 1} e
+            JOIN k$i a ON e.src = a.src
+            JOIN k$i b ON e.dst = b.src)"""
+    }.mkString(",\n")
+    s"$base,\n$rounds\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e4 GROUP BY 1"
+  }
+
   val defs: Map[String, Q] = Map(
     "q104_fuzzy_join" -> q104,
     "q106_rolling_median" -> q106,
     "q108_pareto_front" -> q108,
+    "q110_percentile_norm" -> q110,
+    "q112_kcore" -> q112,
     "q91_markov_transitions" -> q91,
     "q96_assoc_rules" -> q96,
     "q97_hll_distinct" -> q97,
@@ -704,6 +752,8 @@ object AnalyticsQueries {
     "q104_fuzzy_join" -> q104Sql,
     "q106_rolling_median" -> q106Sql,
     "q108_pareto_front" -> q108Sql,
+    "q110_percentile_norm" -> q110Sql,
+    "q112_kcore" -> q112Sql,
     "q91_markov_transitions" -> q91Sql,
     "q96_assoc_rules" -> q96Sql,
     "q97_hll_distinct" -> q97Sql,

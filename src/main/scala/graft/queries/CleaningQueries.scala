@@ -144,6 +144,72 @@ object CleaningQueries {
        FROM documents"""
   }
 
+  /** q109 — URL domain statistics: the per-domain document histogram a
+    * web pipeline feeds into domain allow/block lists and mixture
+    * weights. The corpus carries no URLs, so — exactly like q51's PII
+    * header — a deterministic per-doc URL is derived in both engines;
+    * the regexp domain extraction and share aggregation are the real
+    * operator. One map-combined groupBy on a low-cardinality key. */
+  private val q109: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("url", concat(lit("http://w"), (col("doc_id") % 50).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"), lit(".com/p"),
+        col("doc_id").cast("string")))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)", 1))
+    // one bounded scalar: corpus size, the share denominator
+    val total = docs.count().toDouble
+    docs.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("domain"), col("n_docs"),
+        StableRound.tieStableRound(
+          col("n_docs").cast("double") / lit(total), 6).as("share"))
+  }
+
+  private val q109Sql = {
+    val share = StableRound.sql(
+      "CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)", 6)
+    s"""WITH u AS (SELECT regexp_extract(
+                     'http://w' || (doc_id % 50) || '.example' || (doc_id % 7) || '.com/p' || doc_id,
+                     'https?://([^/]+)', 1) AS domain
+                   FROM documents)
+       SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, $share AS share
+       FROM u GROUP BY 1"""
+  }
+
+  /** q111 — directional n-gram containment (Broder): the asymmetric
+    * near-dup signal that catches sub-document duplication Jaccard
+    * misses ([[graft.dedup.Dedup.containmentPairs]]). Oracle: the same
+    * inverted-index construction over shingle STRINGS (hash-free) with
+    * both containment directions. */
+  private val q111: Q = (s, dir) =>
+    graft.dedup.Dedup.containmentPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleN = 3, minContainment = 0.5, dfCap = 100)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q111Sql = {
+    val ab = StableRound.sql("CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE)", 4)
+    val ba = StableRound.sql("CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE)", 4)
+    s"""WITH docs AS (
+          SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                  FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE length(trim(text)) > 0)),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                  FROM docs WHERE len(shingles) > 0),
+        inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized),
+        hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
+        cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     any_value(a.n_shingles) AS n_a, any_value(b.n_shingles) AS n_b,
+                     count(*) AS n_common
+              FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        c AS (SELECT id_a, id_b, $ab AS cont_ab, $ba AS cont_ba FROM p)
+       SELECT id_a, id_b, cont_ab, cont_ba FROM c
+       WHERE cont_ab >= 0.5 OR cont_ba >= 0.5
+       ORDER BY id_a, id_b"""
+  }
+
   /** q107 — bigram-LM fluency score (add-one smoothing, mean conditional
     * probability in exact 1e-9 units — see [[graft.text.BigramLm]]). */
   private val q107: Q = (s, dir) =>
@@ -156,12 +222,16 @@ object CleaningQueries {
     "q102_c4_line_filter" -> q102,
     "q103_line_dedup"    -> q103,
     "q105_unicode_nfc"   -> q105,
-    "q107_bigram_lm"     -> q107)
+    "q107_bigram_lm"     -> q107,
+    "q109_url_domains"   -> q109,
+    "q111_containment"   -> q111)
 
   val oracles: Map[String, String] = Map(
     "q101_gopher_rules"  -> q101Sql,
     "q102_c4_line_filter" -> q102Sql,
     "q103_line_dedup"    -> q103Sql,
     "q105_unicode_nfc"   -> q105Sql,
+    "q109_url_domains"   -> q109Sql,
+    "q111_containment"   -> q111Sql,
     "q107_bigram_lm"     -> q107Sql)
 }

@@ -155,4 +155,31 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, minJaccard = 0.01, dfCap = 10)
     assert(pairs.count() == 0) // the only shared shingle is hot → dropped
   }
+
+  test("containment: pasted sub-document scores ~1 directionally, low jaccard") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = s"intro words here $small and then many completely different trailing tokens " +
+      "padding the larger document with unrelated content about engines"
+    val pair = Seq((10L, small), (11L, big)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(pair, "doc_id", "text",
+      shingleN = 3, minContainment = 0.5, dfCap = 100)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, ab, ba) = out.head
+    assert(a == 10L && b == 11L)
+    assert(ab == 1.0)  // every shingle of the small doc appears in the big one
+    assert(ba < 0.5)   // but the big doc is NOT contained in the small one
+  }
+
+  test("containment threshold keeps a pair when only one direction clears") {
+    import spark.implicits._
+    val pair = Seq(
+      (20L, "one two three four five"),
+      (21L, "one two three four five six seven eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(pair, "doc_id", "text",
+      shingleN = 3, minContainment = 0.9, dfCap = 100).collect()
+    assert(out.length == 1) // cont_ab = 1.0 clears, cont_ba ≈ 0.27 does not
+  }
 }
