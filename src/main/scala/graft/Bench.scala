@@ -136,6 +136,13 @@ object Bench {
     probes += cpuProbe(benchCpus) // phase boundary: queries done
     writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, -3.0, (-3.0, 0L, 0L, 0L),
       load1(), partial = true))
+    // SPARK_GRAFT_SMOKES=0: queries-only run for local iteration (the scale
+    // smokes add ~10-20 min); the artifact keeps partial=true so BASELINE
+    // smoke-floor comparisons know the smokes never ran.
+    if (sys.env.get("SPARK_GRAFT_SMOKES").contains("0")) {
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"partial":true,"sf":"$sfDir"}""".take(15000))
+      spark.stop(); return
+    }
     // Every scale smoke runs in its OWN fresh session: prior executions
     // leave shuffle files, block-manager state, and pending ContextCleaner
     // work that contaminate later timings by up to 3-4× (measured: winnow

@@ -29,6 +29,30 @@ object Dedup {
       .groupBy(col("_fp").as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (delta) exact dedup — the daily-ingest shape: a NEW batch
+    * of documents checked against the fingerprint INDEX of the corpus
+    * already ingested, without re-deduplicating the corpus itself. Each new
+    * doc gets `dup_of` = the smallest index doc id sharing its normalized
+    * fingerprint (null ⇒ genuinely new content).
+    *
+    * Shape at scale: the index side is reduced to its per-fingerprint
+    * minimum BEFORE the join — one map-combined groupBy over the index,
+    * then a fingerprint equi-join against the (much smaller) batch. AQE
+    * broadcasts whichever side is small; at 100 TB the index aggregate is
+    * a persisted table updated per ingest, and this join is the only work
+    * per batch. Nothing rescans or reshuffles the historical corpus text.
+    */
+  def incrementalExact(index: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val indexFps = index
+      .select(TextOps.fingerprint(col(textCol)).as("_fp"), col(idCol).as("_idx_id"))
+      .groupBy(col("_fp")).agg(min(col("_idx_id")).as("dup_of"))
+    batch
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .join(indexFps, Seq("_fp"), "left")
+      .select(col(idCol), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+  }
+
   /** k minhash values as an array column — a single codegen pass over the
     * row's shingle hashes (graft.functions.MinHashSignature). The earlier
     * aggregate/zip_with formulation went through interpreted lambda

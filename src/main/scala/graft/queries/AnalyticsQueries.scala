@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.{Bfs, PageRank}
-import graft.operators.{AsofJoin, FuzzyJoin, RangeJoin, Skyline}
+import graft.operators.{AsofJoin, FuzzyJoin, RangeJoin, Skyline, SortedNeighborhood}
+import graft.functions.StableRound
 import graft.sketch.Kmv
 
 /** Temporal joins, graph analytics, and sketch operators over the star
@@ -724,7 +725,93 @@ object AnalyticsQueries {
     s"$base,\n$rounds\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e4 GROUP BY 1"
   }
 
+  /** q115 — sorted-neighborhood entity-resolution blocking
+    * ([[SortedNeighborhood]]): window-4 neighbor pairs under name order
+    * inside 14-char blocks, verified at Levenshtein ≤ 1. The window is
+    * PARTITIONED by the block prefix — no global sort, one hash shuffle.
+    * Oracle: the identical lead()-window construction in DuckDB. */
+  private val q115: Q = (s, dir) =>
+    SortedNeighborhood.candidates(Tables.customer(s, dir),
+      idCol = "c_custkey", keyCol = "c_name",
+      prefixLen = 14, window = 4, maxDist = 1)
+
+  private val q115Sql = {
+    val pair = (i: Int) =>
+      s"SELECT id AS id_a, id$i AS id_b, key AS key_a, k$i AS key_b FROM n WHERE id$i IS NOT NULL"
+    s"""WITH r AS (SELECT c_custkey AS id, c_name AS key, substr(c_name, 1, 14) AS blk
+                   FROM customer),
+            n AS (SELECT id, key,
+                    lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS k1,
+                    lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS k2,
+                    lead(id, 3) OVER w AS id3, lead(key, 3) OVER w AS k3
+                  FROM r WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+            p AS (${pair(1)} UNION ALL ${pair(2)} UNION ALL ${pair(3)})
+       SELECT id_a, id_b, key_a, key_b, CAST(levenshtein(key_a, key_b) AS BIGINT) AS dist
+       FROM p WHERE levenshtein(key_a, key_b) <= 1"""
+  }
+
+  /** q117 — Pearson correlation matrix per return flag, ENGINE-STABLE:
+    * the co-moment formula r = (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    * evaluated over EXACT integer sums — each measure is first scaled to
+    * integer cents/basis-points (floor(x·scale + 0.5), one IEEE op on the
+    * stored double), summed as decimals (exact), and only the final
+    * ratio touches floating point, in an identical expression tree on
+    * both engines. A plain corr() of doubles is addition-order-dependent
+    * and can never hash-pin. One map-combined groupBy; no second pass. */
+  private val q117: Q = (s, dir) => {
+    val dec = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast(dec).as("x"),
+      floor(col("l_quantity") * 100 + 0.5).cast(dec).as("y"),
+      floor(col("l_discount") * 10000 + 0.5).cast(dec).as("z"))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(col("z")).cast(dec).as("sz"),
+      sum(col("x") * col("x")).cast(dec).as("sxx"),
+      sum(col("y") * col("y")).cast(dec).as("syy"),
+      sum(col("z") * col("z")).cast(dec).as("szz"),
+      sum(col("x") * col("y")).cast(dec).as("sxy"),
+      sum(col("x") * col("z")).cast(dec).as("sxz"))
+    val n = col("n_rows").cast(dec)
+    def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) = {
+      val num = (n * sab - sa * sb).cast("double")
+      val va  = (n * saa - sa * sa).cast("double")
+      val vb  = (n * sbb - sb * sb).cast("double")
+      StableRound.tieStableRound(num / sqrt(va * vb), 6)
+    }
+    agg.select(col("l_returnflag"), col("n_rows"),
+      corr2(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("corr_price_qty"),
+      corr2(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")).as("corr_price_disc"))
+  }
+
+  private val q117Sql = {
+    def corr2(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      StableRound.sql(
+        s"CAST(n_rows * $sab - $sa * $sb AS DOUBLE) / " +
+        s"sqrt(CAST(n_rows * $saa - $sa * $sa AS DOUBLE) * CAST(n_rows * $sbb - $sb * $sb AS DOUBLE))", 6)
+    s"""WITH t AS (SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS y,
+                     CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS z
+                   FROM lineitem),
+            a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n_rows,
+                         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(z) AS HUGEINT) AS sz,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+                         CAST(sum(z * z) AS HUGEINT) AS szz,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * z) AS HUGEINT) AS sxz
+                  FROM t GROUP BY l_returnflag)
+       SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+              ${corr2("sxy", "sx", "sy", "sxx", "syy")} AS corr_price_qty,
+              ${corr2("sxz", "sx", "sz", "sxx", "szz")} AS corr_price_disc
+       FROM a"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q115_sorted_neighborhood" -> q115,
+    "q117_corr_matrix" -> q117,
     "q104_fuzzy_join" -> q104,
     "q106_rolling_median" -> q106,
     "q108_pareto_front" -> q108,
@@ -749,6 +836,8 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q115_sorted_neighborhood" -> q115Sql,
+    "q117_corr_matrix" -> q117Sql,
     "q104_fuzzy_join" -> q104Sql,
     "q106_rolling_median" -> q106Sql,
     "q108_pareto_front" -> q108Sql,

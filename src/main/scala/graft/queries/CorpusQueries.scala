@@ -369,7 +369,34 @@ object CorpusQueries {
               doc_id
        FROM s ORDER BY shard, seq"""
 
+  /** q113 — PMI collocation mining ([[graft.text.Collocations]]): adjacent
+    * word pairs scored by lift = p(ab)/(p(a)p(b)) — exact-integer ratio,
+    * so the oracle hash-pins the measurement (log-PMI is monotone in it).
+    * Two map-combined groupBys + two vocabulary-sized joins. */
+  private val q113: Q = (s, dir) =>
+    graft.text.Collocations.mine(Tables.documents(s, dir), "text", minCount = 5)
+
+  private val q113Sql =
+    graft.text.Collocations.oracleSql("documents", "text", minCount = 5)
+
+  /** q116 — χ² distribution-drift audit ([[graft.operators.Drift]])
+    * between two deterministic halves of the corpus, per (lang, source)
+    * cell: the train/validation skew gate of a data pipeline. Exact
+    * integer counts → engine-stable χ² contributions. */
+  private val q116: Q = (s, dir) =>
+    graft.operators.Drift.chi2(
+      Tables.documents(s, dir)
+        .withColumn("category", concat_ws("_", col("lang"), col("source")))
+        .withColumn("slice", when(col("doc_id") % 10 < 5, "a").otherwise("b")),
+      "category", "slice")
+
+  private val q116Sql = graft.operators.Drift.oracleSql(
+    "documents", "lang || '_' || source",
+    "CASE WHEN doc_id % 10 < 5 THEN 'a' ELSE 'b' END")
+
   val defs: Map[String, Q] = Map(
+    "q113_collocations"  -> q113,
+    "q116_chi2_drift"    -> q116,
     "q61_semdedup"       -> q61,
     "q62_tfidf"          -> q62,
     "q95_bpe_merges"     -> q95,
@@ -384,6 +411,8 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_collocations"  -> q113Sql,
+    "q116_chi2_drift"    -> q116Sql,
     "q61_semdedup"       -> q61Sql,
     "q62_tfidf"          -> q62Sql,
     "q95_bpe_merges"     -> q95Sql,

@@ -525,7 +525,29 @@ object TextQueries {
        FROM c JOIN n ON c.doc_id = n.doc_id
        GROUP BY c.doc_id, n.n, n.n_distinct"""
 
+  /** q114 — incremental (delta) exact dedup ([[Dedup.incrementalExact]]):
+    * the last fifth of the corpus arrives as a new ingest batch and is
+    * checked against the fingerprint index of the first four fifths —
+    * the historical corpus is aggregated to one row per fingerprint
+    * before the join, so per-batch cost never rescans history. */
+  private val q114: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalExact(
+      docs.filter(col("doc_id") % 5 =!= 4),
+      docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text")
+  }
+
+  private val q114Sql =
+    """WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+                   FROM documents),
+            idx AS (SELECT f, min(doc_id) AS dup_of FROM fp WHERE doc_id % 5 <> 4 GROUP BY 1)
+       SELECT b.doc_id, idx.dup_of, idx.dup_of IS NOT NULL AS is_dup
+       FROM fp b LEFT JOIN idx USING (f)
+       WHERE b.doc_id % 5 = 4"""
+
   val defs: Map[String, Q] = Map(
+    "q114_delta_dedup"       -> q114,
     "q40_ivf_ann"            -> q40,
     "q50_decontam"           -> q50,
     "q41_dedup_clusters"     -> q41,
@@ -546,6 +568,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_delta_dedup"       -> q114Sql,
     "q41_dedup_clusters"     -> q41Sql,
     "q30_token_stats"        -> q30Sql,
     "q31_quality_score"      -> q31Sql,

@@ -20,6 +20,20 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("incremental exact dedup flags batch docs already in the index") {
+    import spark.implicits._
+    val index = Seq((10L, "Seen Before!"), (11L, "seen before"), (12L, "only in index"))
+      .toDF("doc_id", "text")
+    val batch = Seq((20L, "seen  BEFORE"), (21L, "brand new content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(index, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("dup_of")), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(20L) == ((Some(10L), true))) // smallest matching index id wins
+    assert(out(21L) == ((None, false)))
+    assert(out.size == 2) // index rows never appear in the output
+  }
+
   test("exact dedup groups identical normalized content") {
     val out = Dedup.exact(docs, "text", "doc_id").filter(col("n_copies") > 1).collect()
     assert(out.length == 1)
