@@ -69,12 +69,21 @@ object FuzzyJoin {
       .select(col("s").as("b"), col("k.seg_i").as("seg_i"),
         col("k.seg_len").as("seg_len"), col("k.seg").as("seg"))
 
+    // Verify BEFORE the pair-dedup exchange, with the BANDED threshold
+    // Levenshtein (O(d·len) early-exit, returns -1 above the bound). On
+    // adversarial data — every string sharing one segment verbatim, e.g.
+    // a constant "Customer#" prefix — the candidate join degenerates
+    // toward n² rows; running full-matrix levenshtein after a distinct()
+    // of all those pairs shuffled ~n² string pairs (measured 15.5 s on
+    // 2.1k such names). Verifying map-side first means the exchange only
+    // carries TRUE matches; a pair surviving via two segments costs one
+    // extra cheap banded check instead of a row in the shuffle.
     idx.join(probe, Seq("seg_i", "seg_len", "seg"))
       .filter(col("a") =!= col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b"), d))
+      .filter(col("dist") >= 0 && col("dist") <= d)
       .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+        greatest(col("a"), col("b")).as("b"), col("dist"))
       .distinct()
-      .withColumn("dist", levenshtein(col("a"), col("b")))
-      .filter(col("dist") <= d)
   }
 }
