@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.{Bfs, PageRank}
-import graft.operators.{AsofJoin, FuzzyJoin, RangeJoin, Skyline, SortedNeighborhood}
+import graft.operators.{AsofJoin, Evaluation, FuzzyJoin, RangeJoin, Skyline, SortedNeighborhood}
 import graft.functions.StableRound
 import graft.sketch.Kmv
 
@@ -809,7 +809,108 @@ object AnalyticsQueries {
        FROM a"""
   }
 
+  /** q118 — HITS hubs/authorities over the supply DAG, 3 exact-integer
+    * iterations ([[graft.graph.Hits]]): unnormalized updates keep every
+    * intermediate an exact long (identical in any engine — no
+    * addition-order-dependent doubles), one L1 normalization at the end.
+    * Oracle: the three integer iterations unrolled into chained CTEs —
+    * raw longs compare EXACTLY, shares via the stable rounding. */
+  private val q118: Q = (s, dir) =>
+    graft.graph.Hits.run(supplyEdges(s, dir), iterations = 3)
+
+  private val q118Sql: String = {
+    val base =
+      s"""WITH e AS ($supplyEdgesSql),
+          nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+          s0 AS (SELECT node, CAST(1 AS BIGINT) AS hub, CAST(1 AS BIGINT) AS auth FROM nodes)"""
+    val iters = (1 to 3).map { i =>
+      s"""a$i AS (SELECT n.node, CAST(coalesce(x.a, 0) AS BIGINT) AS auth
+                  FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, CAST(sum(s.hub) AS BIGINT) AS a
+                    FROM e JOIN s${i - 1} s ON e.src = s.node GROUP BY e.dst) x USING (node)),
+          s$i AS (SELECT a.node, CAST(coalesce(h.h, 0) AS BIGINT) AS hub, a.auth
+                  FROM a$i a LEFT JOIN (
+                    SELECT e.src AS node, CAST(sum(a2.auth) AS BIGINT) AS h
+                    FROM e JOIN a$i a2 ON e.dst = a2.node GROUP BY e.src) h USING (node))"""
+    }.mkString(",\n")
+    val hubShare  = StableRound.sql("CAST(hub AS DOUBLE) / CAST(hs AS DOUBLE)", 9)
+    val authShare = StableRound.sql("CAST(auth AS DOUBLE) / CAST(asum AS DOUBLE)", 9)
+    s"""$base,
+        $iters,
+        t AS (SELECT CAST(sum(hub) AS BIGINT) AS hs, CAST(sum(auth) AS BIGINT) AS asum FROM s3)
+       SELECT node, hub AS hub_raw, auth AS auth_raw,
+              $hubShare AS hub_share, $authShare AS auth_share
+       FROM s3, t"""
+  }
+
+  /** q119 — ROC AUC of a length-proxy quality score against a word-count
+    * label, per language ([[Evaluation.rocAuc]]): the classifier-
+    * evaluation primitive a filtering pipeline gates on, in exact
+    * rank-sum integers. The window runs over the per-(lang, score)
+    * HISTOGRAM, not raw rows. */
+  private val q119: Q = (s, dir) =>
+    Evaluation.rocAuc(
+      Tables.documents(s, dir)
+        .withColumn("lbl", size(split(trim(col("text")), " ")) >= 60),
+      "lang", "n_chars", "lbl")
+
+  private val q119Sql = {
+    val auc = StableRound.sql(
+      "CAST(sum_rank2 - n_pos * (n_pos + 1) AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)", 6)
+    s"""WITH t AS (SELECT lang, n_chars AS s,
+                     len(string_split(trim(text), ' ')) >= 60 AS lbl
+                   FROM documents),
+            h AS (SELECT lang, s, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                  FROM t GROUP BY 1, 2),
+            r AS (SELECT lang, cnt, pos,
+                    CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                  FROM h),
+            a AS (SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos,
+                    CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                    CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS sum_rank2
+                  FROM r GROUP BY 1)
+       SELECT lang, n_pos, n_neg, $auc AS auc FROM a"""
+  }
+
+  /** q120 — two-sample KS drift statistic per event type
+    * ([[Evaluation.ksTest]]): odd vs even event ids over decile-quantized
+    * values — sup|F_a − F_b| with an exact cross-multiplied numerator. */
+  private val q120: Q = (s, dir) =>
+    Evaluation.ksTest(
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .withColumn("bucket", floor(col("value") * 10).cast("long"))
+        .withColumn("slice", when(col("event_id") % 2 === 0, "a").otherwise("b")),
+      "event_type", "bucket", "slice")
+
+  private val q120Sql = {
+    val ks = StableRound.sql(
+      "CAST(ks_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)
+    s"""WITH t AS (SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS v,
+                     CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS sl
+                   FROM events WHERE value IS NOT NULL),
+            h AS (SELECT event_type, v,
+                    CAST(sum(CASE WHEN sl = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN sl = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                  FROM t GROUP BY 1, 2),
+            c AS (SELECT event_type, ca, cb,
+                    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+                    CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+                    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+                    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+                  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            m AS (SELECT event_type, n_a, n_b,
+                    CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num
+                  FROM c GROUP BY 1, 2, 3)
+       SELECT event_type, n_a, n_b, $ks AS ks FROM m"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q119_auc" -> q119,
+    "q120_ks_drift" -> q120,
+    "q118_hits" -> q118,
     "q115_sorted_neighborhood" -> q115,
     "q117_corr_matrix" -> q117,
     "q104_fuzzy_join" -> q104,
@@ -836,6 +937,9 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q119_auc" -> q119Sql,
+    "q120_ks_drift" -> q120Sql,
+    "q118_hits" -> q118Sql,
     "q115_sorted_neighborhood" -> q115Sql,
     "q117_corr_matrix" -> q117Sql,
     "q104_fuzzy_join" -> q104Sql,
