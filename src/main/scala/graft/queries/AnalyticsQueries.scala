@@ -907,7 +907,60 @@ object AnalyticsQueries {
        SELECT event_type, n_a, n_b, $ks AS ks FROM m"""
   }
 
+  /** q121 — end-to-end entity resolution: sorted-neighborhood blocking
+    * (q115's candidates) → connected components ([[graft.dedup.Components]],
+    * the same large-star/small-star engine as q41) → golden-record
+    * survivorship (per cluster: size, and the max-(acctbal, custkey)
+    * representative — a deterministic struct-max, no window). The
+    * canonical ER dataflow, every stage a reused production operator.
+    * Oracle: pair construction + recursive-CTE min-label components +
+    * arg-max survivorship in DuckDB. */
+  private val q121: Q = (s, dir) => {
+    val recs = Tables.customer(s, dir)
+    val pairs = SortedNeighborhood.candidates(recs,
+      idCol = "c_custkey", keyCol = "c_name", prefixLen = 14, window = 4, maxDist = 1)
+    val canon = graft.dedup.Components.canonicalize(
+      recs.select(col("c_custkey").as("id")), pairs)
+    recs.join(canon, recs("c_custkey") === canon("id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("rep"))
+      .select(col("canonical_id"), col("cluster_size"),
+        col("rep.c_custkey").as("rep_custkey"),
+        col("rep.c_acctbal").as("rep_acctbal"))
+  }
+
+  private val q121Sql = {
+    val pair = (i: Int) =>
+      s"SELECT id AS id_a, id$i AS id_b FROM n WHERE id$i IS NOT NULL AND levenshtein(key, k$i) <= 1"
+    s"""WITH RECURSIVE
+         r AS (SELECT c_custkey AS id, c_name AS key, substr(c_name, 1, 14) AS blk
+               FROM customer),
+         n AS (SELECT id, key,
+                 lead(id, 1) OVER w AS id1, lead(key, 1) OVER w AS k1,
+                 lead(id, 2) OVER w AS id2, lead(key, 2) OVER w AS k2,
+                 lead(id, 3) OVER w AS id3, lead(key, 3) OVER w AS k3
+               FROM r WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+         p AS (${pair(1)} UNION ALL ${pair(2)} UNION ALL ${pair(3)}),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION SELECT id_b, id_a FROM p),
+         reach(id, comp) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r2.comp FROM edges e JOIN reach r2 ON e.dst = r2.id),
+         comp AS (SELECT id, min(comp) AS canonical FROM reach GROUP BY id),
+         lab AS (SELECT c.c_custkey, c.c_acctbal,
+                        coalesce(m.canonical, c.c_custkey) AS canonical_id
+                 FROM customer c LEFT JOIN comp m ON c.c_custkey = m.id),
+         g AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
+                      max(struct_pack(a := c_acctbal, k := c_custkey)) AS rep
+               FROM lab GROUP BY 1)
+       SELECT canonical_id, cluster_size, rep.k AS rep_custkey, rep.a AS rep_acctbal
+       FROM g"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q121_er_golden" -> q121,
     "q119_auc" -> q119,
     "q120_ks_drift" -> q120,
     "q118_hits" -> q118,
@@ -937,6 +990,7 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q121_er_golden" -> q121Sql,
     "q119_auc" -> q119Sql,
     "q120_ks_drift" -> q120Sql,
     "q118_hits" -> q118Sql,

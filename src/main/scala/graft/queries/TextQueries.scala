@@ -546,7 +546,43 @@ object TextQueries {
        FROM fp b LEFT JOIN idx USING (f)
        WHERE b.doc_id % 5 = 4"""
 
+  /** q122 — mutual nearest-neighbor matching (reciprocal best match, the
+    * bitext/dataset-alignment primitive): split the embedding set into
+    * two views (even/odd ids, bounded like q36) and keep pairs where
+    * each side is the other's cosine top-1. Brute force is the bounded
+    * exactness baseline; at corpus scale the same mutual join runs over
+    * LSH/IVF candidates (q37/q40 machinery). */
+  private val q122: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val ab = Similarity.bruteForceTopK(a, b, k = 1)
+    val ba = Similarity.bruteForceTopK(b, a, k = 1)
+    ab.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"), col("score"))
+      .join(ba.select(col("neighbor_id").as("id_a"), col("query_id").as("id_b")),
+        Seq("id_a", "id_b"))
+      .orderBy(col("id_a"))
+  }
+
+  private val q122Sql = {
+    val score = StableRound.sql(
+      "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)
+    s"""WITH ea AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0),
+            eb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 1),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $score AS score
+                  FROM ea a CROSS JOIN eb b),
+            ab AS (SELECT id_a, id_b, score FROM (
+                     SELECT id_a, id_b, score, row_number() OVER (PARTITION BY id_a
+                       ORDER BY score DESC, id_b ASC) AS rn FROM p) WHERE rn = 1),
+            ba AS (SELECT id_a, id_b FROM (
+                     SELECT id_a, id_b, row_number() OVER (PARTITION BY id_b
+                       ORDER BY score DESC, id_a ASC) AS rn FROM p) WHERE rn = 1)
+       SELECT id_a, id_b, score FROM ab JOIN ba USING (id_a, id_b)
+       ORDER BY id_a"""
+  }
+
   val defs: Map[String, Q] = Map(
+    "q122_mutual_knn"        -> q122,
     "q114_delta_dedup"       -> q114,
     "q40_ivf_ann"            -> q40,
     "q50_decontam"           -> q50,
@@ -568,6 +604,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_mutual_knn"        -> q122Sql,
     "q114_delta_dedup"       -> q114Sql,
     "q41_dedup_clusters"     -> q41Sql,
     "q30_token_stats"        -> q30Sql,
