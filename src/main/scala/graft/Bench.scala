@@ -221,7 +221,9 @@ object Bench {
     val contaminated = loadBefore > 1.5 * cpus || loadAfter > 1.5 * cpus ||
       probeSpread > 2.0
     def r3(d: Double): String = f"$d%.3f"
-    val slow = results.filter(_._5.isEmpty).sortBy(-_._2).take(40)
+    // 30 × ~30 chars ≈ 900 for the query map; whole line ≈ 1.5 KB, leaving
+    // headroom under the driver's ~2000-char tail even as the surface grows
+    val slow = results.filter(_._5.isEmpty).sortBy(-_._2).take(30)
       .map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val compact =
