@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.graph.{Bfs, PageRank}
-import graft.operators.{AsofJoin, Evaluation, FuzzyJoin, RangeJoin, Skyline, SortedNeighborhood}
+import graft.operators.{AsofJoin, Evaluation, FuzzyJoin, GapFill, RangeJoin, Skyline, SortedNeighborhood}
 import graft.functions.StableRound
 import graft.sketch.Kmv
 
@@ -959,7 +959,40 @@ object AnalyticsQueries {
        FROM g"""
   }
 
+  /** q123 — time-series gap fill ([[GapFill.hourlyFfill]]): purchase
+    * values resampled onto each user's hourly grid with forward fill —
+    * the feature-store materialization shape. Bounded to 500 users so
+    * the oracle result stays comparable; the operator itself is
+    * key-partitioned end to end. `value` is a raw passthrough double
+    * (no arithmetic), so it hash-pins without rounding. */
+  private val q123: Q = (s, dir) =>
+    GapFill.hourlyFfill(
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 500),
+      "user_id", "ts", "value", "event_id")
+
+  private val q123Sql =
+    """WITH src AS (SELECT user_id AS key, date_trunc('hour', ts) AS hour, ts,
+                      event_id, value AS v
+                    FROM events
+                    WHERE event_type = 'purchase' AND user_id < 500
+                      AND value IS NOT NULL),
+          obs AS (SELECT key, hour,
+                    max(struct_pack(t := ts, e := event_id, v := v)).v AS obs_value
+                  FROM src GROUP BY 1, 2),
+          bounds AS (SELECT key, min(hour) AS h0, max(hour) AS h1 FROM obs GROUP BY 1),
+          spine AS (SELECT key, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                    FROM bounds),
+          j AS (SELECT s.key, s.hour, o.obs_value FROM spine s
+                LEFT JOIN obs o USING (key, hour))
+       SELECT key, hour,
+              last_value(obs_value IGNORE NULLS) OVER (PARTITION BY key ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+              obs_value IS NOT NULL AS observed
+       FROM j"""
+
   val defs: Map[String, Q] = Map(
+    "q123_gap_fill" -> q123,
     "q121_er_golden" -> q121,
     "q119_auc" -> q119,
     "q120_ks_drift" -> q120,
@@ -990,6 +1023,7 @@ object AnalyticsQueries {
     "q81_label_prop" -> q81)
 
   val oracles: Map[String, String] = Map(
+    "q123_gap_fill" -> q123Sql,
     "q121_er_golden" -> q121Sql,
     "q119_auc" -> q119Sql,
     "q120_ks_drift" -> q120Sql,
