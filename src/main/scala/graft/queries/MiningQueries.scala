@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.StableRound
+
+/** Graph-mining and clustering operators: weighted shortest paths
+  * (Bellman-Ford), exact prefix-filtered set-similarity join
+  * (AllPairs/PPJoin), deterministic integer k-means (Lloyd), and
+  * density clustering (DBSCAN). Each query's oracle is the independent
+  * textbook construction in DuckDB — recursive-CTE path enumeration,
+  * uncapped all-pairs Jaccard, unrolled Lloyd iterations, and
+  * ε-neighborhood closure respectively.
+  */
+object MiningQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weighted supply DAG: P→S edges carry the cheapest observed price in
+    * exact cents (min over lineitems per (part, supplier)); S→N the
+    * supplier's account balance in cents (NEGATIVE for debtors — the
+    * Bellman-Ford-only case); N→R the nation key. Same node universe as
+    * the q112/q81 supply graph. */
+  private def supplyWeightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_size") <= 10).select(col("p_partkey"))
+    val e1 = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("w"))
+      .select(concat(lit("P:"), col("l_partkey")).as("src"),
+        concat(lit("S:"), col("l_suppkey")).as("dst"), col("w"))
+    val e2 = Tables.supplier(s, dir).select(
+      concat(lit("S:"), col("s_suppkey")).as("src"),
+      concat(lit("N:"), col("s_nationkey")).as("dst"),
+      floor(col("s_acctbal") * 100 + 0.5).cast("long").as("w"))
+    val e3 = Tables.nation(s, dir).select(
+      concat(lit("N:"), col("n_nationkey")).as("src"),
+      concat(lit("R:"), col("n_regionkey")).as("dst"),
+      col("n_nationkey").cast("long").as("w"))
+    e1.unionByName(e2).unionByName(e3)
+  }
+
+  /** q124 — multi-source weighted shortest paths over the supply DAG
+    * ([[graft.graph.ShortestPaths]]): cheapest cents-exact route from any
+    * part to every reachable node. 4 relaxation rounds ≥ the 3-hop
+    * longest path ⇒ exact fixpoint. Oracle: recursive-CTE path
+    * enumeration + min — a different algorithm (all paths, then min)
+    * reaching the same fixpoint. */
+  private val q124: Q = (s, dir) => {
+    val e = supplyWeightedEdges(s, dir)
+    val seeds = e.filter(col("src").startsWith("P:")).select(col("src").as("node"))
+    graft.graph.ShortestPaths.run(e, seeds, rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  private val q124Sql =
+    """WITH RECURSIVE ed AS MATERIALIZED (
+         SELECT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst,
+                min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+         FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
+         GROUP BY 1, 2
+         UNION ALL SELECT 'S:' || s_suppkey, 'N:' || s_nationkey,
+                CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) FROM supplier
+         UNION ALL SELECT 'N:' || n_nationkey, 'R:' || n_regionkey,
+                CAST(n_nationkey AS BIGINT) FROM nation),
+       paths AS (
+         SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM ed WHERE src LIKE 'P:%'
+         UNION ALL
+         SELECT e.dst, p.dist + e.w FROM paths p JOIN ed e ON p.node = e.src)
+       SELECT node, min(dist) AS dist FROM paths GROUP BY node ORDER BY node"""
+
+  /** q125 — EXACT set-similarity self-join by prefix filtering
+    * ([[graft.dedup.PrefixJoin]]): every document pair with 3-gram
+    * Jaccard ≥ 0.4, guaranteed recall with no dfCap compromise (the
+    * rarest-first prefix keeps hot shingles out of the index). Oracle:
+    * UNCAPPED all-pairs inverted-index Jaccard — feasible exactly
+    * because this corpus' shingle dfs are small, which is also why the
+    * engine needs no skew cap here. */
+  private val q125: Q = (s, dir) =>
+    graft.dedup.PrefixJoin.selfJoin(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, tau = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q125Jacc = StableRound.sql(
+    "CAST(count(*) AS DOUBLE) / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))", 4)
+
+  private val q125Sql =
+    s"""WITH docs AS (
+         SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                 FROM docs WHERE len(shingles) > 0),
+       inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, $q125Jacc AS jaccard
+       FROM inverted a JOIN inverted b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING $q125Jacc >= 0.4
+       ORDER BY id_a, id_b"""
+
+  /** q126 — deterministic integer k-means ([[graft.sim.IntKMeans]]) over
+    * the first 4 embedding coordinates, k = 10 (the corpus has 10 latent
+    * labels), 2 Lloyd iterations + final assignment. Oracle: the
+    * iterations unrolled as chained CTEs with bit-identical integer
+    * arithmetic. */
+  private val kmK = 10
+  private val kmIters = 2
+  private val kmDims = 4
+
+  private val q126: Q = (s, dir) => {
+    val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      expr("transform(slice(embedding, 1, 4), e -> cast(floor(cast(e as double) * 1000) as long))").as("x"))
+    graft.sim.IntKMeans.assign(pts, k = kmK, dims = kmDims, iterations = kmIters)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q126Sql: String = {
+    val dims = 1 to kmDims
+    val xCols = dims.map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) AS x$i").mkString(", ")
+    def d2(p: String, c: String) = dims.map(i =>
+      s"($p.x$i - $c.c$i) * ($p.x$i - $c.c$i)").mkString(" + ")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         SELECT vec_id, ${dims.map(i => s"x$i").mkString(", ")}, cid, d2 FROM (
+           SELECT p.vec_id, ${dims.map(i => s"p.x$i").mkString(", ")}, c.cid,
+                  ${d2("p", "c")} AS d2,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY ${d2("p", "c")}, c.cid) AS rn
+           FROM p CROSS JOIN $cents c) WHERE rn = 1)"""
+    def updateCte(name: String, assigned: String, prev: String) =
+      s"""${name}_u AS MATERIALIZED (
+         SELECT cid, ${dims.map(i =>
+           s"CAST(floor(CAST(sum(x$i) AS DOUBLE) / count(*)) AS BIGINT) AS c$i").mkString(", ")}
+         FROM $assigned GROUP BY cid),
+       $name AS MATERIALIZED (
+         SELECT $prev.cid, ${dims.map(i =>
+           s"coalesce(u.c$i, $prev.c$i) AS c$i").mkString(", ")}
+         FROM $prev LEFT JOIN ${name}_u u ON $prev.cid = u.cid)"""
+    val iterCtes = (1 to kmIters).map { t =>
+      assignCte(s"a$t", s"c${t - 1}") + ",\n" + updateCte(s"c$t", s"a$t", s"c${t - 1}")
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, $xCols FROM embeddings),
+       c0 AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                ${dims.map(i => s"x$i AS c$i").mkString(", ")}
+         FROM (SELECT * FROM p ORDER BY vec_id LIMIT $kmK)),
+       $iterCtes,
+       ${assignCte("afinal", s"c$kmIters")}
+       SELECT vec_id, cid AS cluster, d2 FROM afinal ORDER BY vec_id"""
+  }
+
+  /** q127 — DBSCAN ([[graft.sim.Dbscan]]) on the first two embedding
+    * coordinates, milli-scaled (ε = 60 ⇒ 0.06, minPts = 5): core /
+    * border / noise roles plus min-core-id cluster labels via connected
+    * components of the core ε-graph. Oracle: bounding-box-prefiltered
+    * all-pairs ε-neighborhood + recursive closure — grid blocking on the
+    * engine side vs. plain range join on the oracle side. */
+  private val q127: Q = (s, dir) => {
+    val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      floor(element_at(col("embedding"), 1).cast("double") * 1000).cast("long").as("x"),
+      floor(element_at(col("embedding"), 2).cast("double") * 1000).cast("long").as("y"))
+    graft.sim.Dbscan.run(pts, eps = 60L, minPts = 5)
+      .select(col("id").as("vec_id"), col("role"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q127Sql =
+    """WITH RECURSIVE pts AS MATERIALIZED (
+         SELECT vec_id, CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+                CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+         FROM embeddings),
+       nb AS MATERIALIZED (
+         SELECT a.vec_id AS ia, b.vec_id AS ib FROM pts a JOIN pts b
+           ON a.vec_id <> b.vec_id
+          AND abs(a.x - b.x) <= 60 AND abs(a.y - b.y) <= 60
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600),
+       core AS MATERIALIZED (
+         SELECT ia AS id FROM nb GROUP BY ia HAVING count(*) + 1 >= 5),
+       ce AS MATERIALIZED (
+         SELECT ia, ib FROM nb
+         WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+       reach AS (
+         SELECT id AS root, id AS node FROM core
+         UNION
+         SELECT r.root, e.ib FROM reach r JOIN ce e ON r.node = e.ia),
+       comp AS MATERIALIZED (
+         SELECT node AS id, min(root) AS cluster FROM reach GROUP BY node),
+       border AS MATERIALIZED (
+         SELECT n.ia AS id, min(c.cluster) AS cluster
+         FROM nb n JOIN comp c ON n.ib = c.id
+         WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+       SELECT p.vec_id,
+              CASE WHEN comp.id IS NOT NULL THEN 'core'
+                   WHEN border.id IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              coalesce(comp.cluster, border.cluster, CAST(-1 AS BIGINT)) AS cluster
+       FROM pts p
+       LEFT JOIN comp ON p.vec_id = comp.id
+       LEFT JOIN border ON p.vec_id = border.id
+       ORDER BY p.vec_id"""
+
+  val defs: Map[String, Q] = Map(
+    "q124_sssp"         -> q124,
+    "q125_prefix_join"  -> q125,
+    "q126_kmeans"       -> q126,
+    "q127_dbscan"       -> q127)
+
+  val oracles: Map[String, String] = Map(
+    "q124_sssp"         -> q124Sql,
+    "q125_prefix_join"  -> q125Sql,
+    "q126_kmeans"       -> q126Sql,
+    "q127_dbscan"       -> q127Sql)
+}
