@@ -53,6 +53,48 @@ object Dedup {
       .select(col(idCol), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Incremental NEAR-dup — [[incrementalExact]]'s fuzzy sibling and the
+    * scale-critical shape of LSH dedup at 100 TB: a new batch probed
+    * against the banded-minhash INDEX of the already-ingested corpus,
+    * never a corpus self-join. The corpus side reduces to its
+    * (band, bucket, id) index — at scale a persisted table maintained
+    * per ingest — so per-batch work is one equi-join of the batch's
+    * bands against that index plus the exact verify on candidates;
+    * historical text is never rescanned, and the index grows by the
+    * batch's bands afterwards (append-only).
+    *
+    * Returns one row per batch document that near-duplicates the corpus:
+    * (id, dup_of, jaccard) with dup_of = the SMALLEST corpus id whose
+    * exact shingle-Jaccard ≥ tau (deterministic representative), jaccard
+    * = that pair's verified value. Recall at tau rides the same band
+    * math as the self-join stack (1−(1−j^r)^b; structural at 32×2 for
+    * τ = 0.8). */
+  def incrementalNearDup(index: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int, bands: Int, rowsPerBand: Int,
+                         tau: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    def banded(df: DataFrame, side: String): DataFrame =
+      graft.scale.Skew.ensureParallelism(df)
+        .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+        .select(col(idCol).as(side),
+          minhashSignature(col(textCol), shingleN, k).as("sig"))
+        .select(col(side),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = banded(batch, "id_a").join(banded(index, "id_b"), Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // the verifier needs both sides' shingle sets in one table
+    val universe = batch.select(col(idCol), col(textCol))
+      .unionByName(index.select(col(idCol), col(textCol)))
+    verifyJaccardPairs(universe, idCol, textCol, cands, shingleN)
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("id_a").as(idCol))
+      .agg(min(struct(col("id_b"), col("jaccard"))).as("m"))
+      .select(col(idCol), col("m.id_b").as("dup_of"), col("m.jaccard").as("jaccard"))
+  }
+
   /** k minhash values as an array column — a single codegen pass over the
     * row's shingle hashes (graft.functions.MinHashSignature). The earlier
     * aggregate/zip_with formulation went through interpreted lambda

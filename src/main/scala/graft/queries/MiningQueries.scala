@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.StableRound
 
-/** Graph-mining and clustering operators: weighted shortest paths
+/** Mining and retrieval extensions: weighted shortest paths
   * (Bellman-Ford), exact prefix-filtered set-similarity join
-  * (AllPairs/PPJoin), deterministic integer k-means (Lloyd), and
-  * density clustering (DBSCAN). Each query's oracle is the independent
-  * textbook construction in DuckDB — recursive-CTE path enumeration,
-  * uncapped all-pairs Jaccard, unrolled Lloyd iterations, and
-  * ε-neighborhood closure respectively.
+  * (AllPairs/PPJoin), deterministic integer k-means (Lloyd), density
+  * clustering (DBSCAN), incremental batch-vs-index near-dup, positional
+  * phrase search, and the TPC-H Q21-shaped correlated anti/semi-join.
+  * Each query's oracle is the independent textbook construction in
+  * DuckDB — recursive-CTE path enumeration, uncapped all-pairs Jaccard,
+  * unrolled Lloyd iterations, ε-neighborhood closure, full-scan bigram
+  * comprehension, and literal EXISTS/NOT-EXISTS respectively.
   */
 object MiningQueries {
 
@@ -204,15 +206,130 @@ object MiningQueries {
        LEFT JOIN border ON p.vec_id = border.id
        ORDER BY p.vec_id"""
 
+  /** q128 — incremental near-dup ([[graft.dedup.Dedup.incrementalNearDup]]):
+    * a new batch (doc_id ≡ 0 mod 10) probed against the LSH index of the
+    * existing corpus — the daily-ingest shape where the corpus is never
+    * self-joined. Candidates are banded-minhash (recall structural at
+    * 32×2 bands for τ = 0.8, the q34 argument); the verified output is
+    * exact, so it oracles against all-pairs batch×corpus Jaccard. */
+  private val q128: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Dedup.incrementalNearDup(
+        index = docs.filter(col("doc_id") % 10 =!= 0),
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3, bands = 32, rowsPerBand = 2, tau = 0.8)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q128Sql =
+    s"""WITH docs AS (
+         SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                 FROM docs WHERE len(shingles) > 0),
+       ib AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle
+              FROM sized WHERE doc_id % 10 = 0),
+       ic AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle
+              FROM sized WHERE doc_id % 10 != 0),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, $q125Jacc AS jaccard
+         FROM ib a JOIN ic b ON a.shingle = b.shingle
+         GROUP BY a.doc_id, b.doc_id
+         HAVING $q125Jacc >= 0.8)
+       SELECT id_a AS doc_id, id_b AS dup_of, jaccard
+       FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rn
+             FROM pairs)
+       WHERE rn = 1 ORDER BY doc_id"""
+
+  /** q129 — positional phrase search: exact 2-token phrase occurrence
+    * counts via a positional inverted index (filter each word — pushed
+    * scans — then a (doc, pos) equi-join), the IR primitive BM25's
+    * bag-of-words scoring can't express. Oracle: per-document bigram
+    * list comprehension — a full-scan formulation of the same truth. */
+  private val phrases = Seq("hash join", "table scan", "batch batch")
+
+  private val q129: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(graft.text.TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    phrases.map { p =>
+      val Array(w1, w2) = p.split(" ")
+      val t1 = toks.filter(col("tok") === w1).select(col("doc_id"), col("pos"))
+      val t2 = toks.filter(col("tok") === w2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(lit(p).as("phrase"), col("doc_id"), col("n"))
+    }.reduce(_.unionByName(_)).orderBy(col("phrase"), col("doc_id"))
+  }
+
+  private val q129Sql = {
+    val values = phrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0),
+       bg AS (SELECT doc_id, [array_to_string(w[i:i+1], ' ')
+               FOR i IN range(1, greatest(len(w), 1))] AS bigrams FROM w)
+       SELECT p.phrase, b.doc_id,
+              CAST(len([x FOR x IN b.bigrams IF x = p.phrase]) AS BIGINT) AS n
+       FROM bg b CROSS JOIN (VALUES $values) p(phrase)
+       WHERE len([x FOR x IN b.bigrams IF x = p.phrase]) > 0
+       ORDER BY phrase, doc_id"""
+  }
+
+  /** q130 — TPC-H Q21-shaped "sole late supplier": suppliers who, in
+    * multi-supplier orders, were the ONLY one shipping late (> 30 days
+    * after the order date) — the correlated EXISTS / NOT-EXISTS pattern,
+    * expressed as one non-equi left-semi plus one non-equi left-anti
+    * join on the distinct (order, supplier) pairs. Oracle: the literal
+    * EXISTS/NOT-EXISTS subquery formulation. */
+  private val q130: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val late = l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 30))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val allSupp = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    late.alias("a")
+      .join(allSupp.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+      .alias("a")
+      .join(late.alias("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val q130Sql =
+    """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY),
+            al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+       SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+       FROM late t
+       WHERE EXISTS (SELECT 1 FROM al o
+                     WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late w
+                     WHERE w.l_orderkey = t.l_orderkey AND w.l_suppkey <> t.l_suppkey)
+       GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   val defs: Map[String, Q] = Map(
-    "q124_sssp"         -> q124,
-    "q125_prefix_join"  -> q125,
-    "q126_kmeans"       -> q126,
-    "q127_dbscan"       -> q127)
+    "q124_sssp"           -> q124,
+    "q125_prefix_join"    -> q125,
+    "q126_kmeans"         -> q126,
+    "q127_dbscan"         -> q127,
+    "q128_delta_neardup"  -> q128,
+    "q129_phrase_search"  -> q129,
+    "q130_sole_late_supplier" -> q130)
 
   val oracles: Map[String, String] = Map(
-    "q124_sssp"         -> q124Sql,
-    "q125_prefix_join"  -> q125Sql,
-    "q126_kmeans"       -> q126Sql,
-    "q127_dbscan"       -> q127Sql)
+    "q124_sssp"           -> q124Sql,
+    "q125_prefix_join"    -> q125Sql,
+    "q126_kmeans"         -> q126Sql,
+    "q127_dbscan"         -> q127Sql,
+    "q128_delta_neardup"  -> q128Sql,
+    "q129_phrase_search"  -> q129Sql,
+    "q130_sole_late_supplier" -> q130Sql)
 }

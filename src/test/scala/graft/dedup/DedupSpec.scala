@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 2) // index rows never appear in the output
   }
 
+  test("incremental near-dup flags batch docs fuzzily matching the index") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    val index = Seq((10L, base), (11L, base), (12L, "only in the index nothing like the batch documents at all"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, base + " today"), // near-dup of 10 AND 11 → smallest id wins
+      (21L, "brand new content nothing shares any shingle with the corpus here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(index, batch, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, tau = 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_of"), r.getAs[Double]("jaccard")))).toMap
+    assert(out.keySet == Set(20L))          // only actual near-dups surface
+    assert(out(20L)._1 == 10L)              // deterministic representative
+    assert(out(20L)._2 >= 0.8)
+    // index-index near-dups (10, 11) must NOT appear: no corpus self-join
+  }
+
   test("exact dedup groups identical normalized content") {
     val out = Dedup.exact(docs, "text", "doc_id").filter(col("n_copies") > 1).collect()
     assert(out.length == 1)
