@@ -46,15 +46,20 @@ object MiningQueries {
 
   /** q124 — multi-source weighted shortest paths over the supply DAG
     * ([[graft.graph.ShortestPaths]]): cheapest cents-exact route from any
-    * part to every reachable node. 4 relaxation rounds ≥ the 3-hop
-    * longest path ⇒ exact fixpoint. Oracle: recursive-CTE path
+    * part to every reachable node. 3 relaxation rounds = the 3-hop
+    * longest path ⇒ exact fixpoint (idempotence beyond that is
+    * spec-proven on ShortestPathsSpec). Oracle: recursive-CTE path
     * enumeration + min — a different algorithm (all paths, then min)
     * reaching the same fixpoint. */
   private val q124: Q = (s, dir) => {
-    val e = supplyWeightedEdges(s, dir)
+    // persist the edge aggregate: both the seed scan and the engine's own
+    // repartition read it, and without the cache the lineitem groupBy
+    // lineage would run twice
+    val e = supplyWeightedEdges(s, dir).persist()
     val seeds = e.filter(col("src").startsWith("P:")).select(col("src").as("node"))
-    graft.graph.ShortestPaths.run(e, seeds, rounds = 4)
-      .orderBy(col("node"))
+    val out = graft.graph.ShortestPaths.run(e, seeds, rounds = 3)
+    e.unpersist() // run() localCheckpoints its result — safe to drop here
+    out.orderBy(col("node"))
   }
 
   private val q124Sql =
@@ -315,6 +320,47 @@ object MiningQueries {
                      WHERE w.l_orderkey = t.l_orderkey AND w.l_suppkey <> t.l_suppkey)
        GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  /** q131 — declarative data-quality suite ([[graft.quality.Checks]]):
+    * six typed constraints over lineitem compiled into one aggregation
+    * pass plus one referential join — completeness, composite-key
+    * uniqueness (FAILS on this data: (l_orderkey, l_linenumber) repeats
+    * — the suite proving it detects), two range checks (one passing,
+    * one violated by the l_quantity tail), pattern conformance, and
+    * orders containment. Oracle: each metric as a literal SQL aggregate. */
+  private val q131: Q = (s, dir) => {
+    import graft.quality.Checks._
+    run(Tables.lineitem(s, dir), Seq(
+      Completeness("completeness_l_quantity", "l_quantity"),
+      Uniqueness("unique_order_line", Seq("l_orderkey", "l_linenumber")),
+      InRange("range_l_discount", "l_discount", 0.0, 0.1),
+      InRange("range_l_quantity", "l_quantity", 1.0, 45.0),
+      PatternMatch("pattern_returnflag", "l_returnflag", "^[ANR]$"),
+      Containment("ref_orders", "l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+  }
+
+  private val q131Sql = {
+    def r(e: String) = StableRound.sql(e, 6)
+    s"""WITH m AS (SELECT
+           CAST(count(l_quantity) AS DOUBLE) / count(*) AS completeness_qty,
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) AS uniq_line,
+           CAST(count(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 END) AS DOUBLE) / count(*) AS range_disc,
+           CAST(count(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 45.0 THEN 1 END) AS DOUBLE) / count(*) AS range_qty,
+           CAST(count(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$$') THEN 1 END) AS DOUBLE) / count(*) AS pat_flag
+         FROM lineitem),
+       c AS (SELECT CAST(count(o.k) AS DOUBLE) / count(*) AS containment
+             FROM lineitem l LEFT JOIN
+               (SELECT DISTINCT o_orderkey AS k FROM orders) o ON l.l_orderkey = o.k),
+       rows_(check_name, metric, min_ratio) AS (
+         SELECT 'completeness_l_quantity', ${r("completeness_qty")}, 1.0 FROM m
+         UNION ALL SELECT 'unique_order_line', ${r("uniq_line")}, 1.0 FROM m
+         UNION ALL SELECT 'range_l_discount', ${r("range_disc")}, 1.0 FROM m
+         UNION ALL SELECT 'range_l_quantity', ${r("range_qty")}, 1.0 FROM m
+         UNION ALL SELECT 'pattern_returnflag', ${r("pat_flag")}, 1.0 FROM m
+         UNION ALL SELECT 'ref_orders', ${r("containment")}, 1.0 FROM c)
+       SELECT check_name, metric, metric >= min_ratio AS passed
+       FROM rows_ ORDER BY check_name"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q124_sssp"           -> q124,
     "q125_prefix_join"    -> q125,
@@ -322,7 +368,8 @@ object MiningQueries {
     "q127_dbscan"         -> q127,
     "q128_delta_neardup"  -> q128,
     "q129_phrase_search"  -> q129,
-    "q130_sole_late_supplier" -> q130)
+    "q130_sole_late_supplier" -> q130,
+    "q131_quality_checks" -> q131)
 
   val oracles: Map[String, String] = Map(
     "q124_sssp"           -> q124Sql,
@@ -331,5 +378,6 @@ object MiningQueries {
     "q127_dbscan"         -> q127Sql,
     "q128_delta_neardup"  -> q128Sql,
     "q129_phrase_search"  -> q129Sql,
-    "q130_sole_late_supplier" -> q130Sql)
+    "q130_sole_late_supplier" -> q130Sql,
+    "q131_quality_checks" -> q131Sql)
 }
