@@ -71,4 +71,28 @@ object Evaluation {
         StableRound.tieStableRound(
           col("ks_num").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
   }
+
+  /** Binary classification confusion metrics at a fixed decision rule:
+    * exact integer confusion counts in ONE map-combined aggregation,
+    * then precision / recall / F1 / accuracy as ratios of those exact
+    * integers (F1 via its 2tp/(2tp+fp+fn) identity rather than composing
+    * the two already-divided ratios — one division, no compounding).
+    * Degenerate denominators (no predicted / no actual positives) yield
+    * null rather than a fabricated 0. */
+  def binaryMetrics(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val counts = df.agg(
+      count(when(actual && predicted, 1)).as("tp"),
+      count(when(!actual && predicted, 1)).as("fp"),
+      count(when(actual && !predicted, 1)).as("fn"),
+      count(when(!actual && !predicted, 1)).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      StableRound.tieStableRound(
+        num.cast("double") / when(den === 0, null).otherwise(den).cast("double"), 6)
+    counts.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"),
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"))
+  }
 }

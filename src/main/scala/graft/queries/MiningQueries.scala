@@ -361,6 +361,129 @@ object MiningQueries {
        FROM rows_ ORDER BY check_name"""
   }
 
+  /** q132 — grouped OLS trend (exact-integer sufficient statistics):
+    * per-event-type slope/intercept of value over time, with x = whole
+    * minutes since the GROUP's first event and y = value in exact
+    * cents, so Σx, Σy, Σx², Σxy are exact 64-bit integers (bounded:
+    * 30-day span ⇒ x ≤ 43 200; value ≤ 561 ⇒ y ≤ 56 121; every
+    * closed-form term stays ≥10× inside Long range at sf0.1) and the
+    * closed-form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides exact
+    * integers once — no per-row float accumulation order to disagree
+    * on. Oracle: the identical sufficient-statistics formulation. */
+  private val q132: Q = (s, dir) => {
+    val e = Tables.events(s, dir).filter(col("value").isNotNull)
+    val mins = e.groupBy(col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("t0"))
+    val xy = e.join(broadcast(mins), Seq("event_type"))
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - t0) div 60000000").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("y"))
+    val sums = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      when(den === 0, null).otherwise(den).cast("double")
+    sums.select(col("event_type"), col("n"),
+        StableRound.tieStableRound(slope, 6).as("slope"),
+        StableRound.tieStableRound(
+          (col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q132Sql = {
+    val slope = "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE)"
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS t, value
+                   FROM events WHERE value IS NOT NULL),
+       m AS (SELECT event_type, min(t) AS t0 FROM e GROUP BY 1),
+       xy AS (SELECT e.event_type, (e.t - m.t0) // 60000000 AS x,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+              FROM e JOIN m ON e.event_type = m.event_type),
+       s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+             FROM xy GROUP BY 1)
+       SELECT event_type, n,
+              ${StableRound.sql(slope, 6)} AS slope,
+              ${StableRound.sql(s"(CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6)} AS intercept
+       FROM s ORDER BY event_type"""
+  }
+
+  /** q133 — binary confusion metrics ([[graft.operators.Evaluation
+    * .binaryMetrics]]) of a sign-of-first-feature decision rule against
+    * the even/odd label split: exact integer confusion counts in one
+    * aggregation, precision/recall/F1/accuracy as single divisions of
+    * exact integers. Oracle: literal CASE-counting twin. */
+  private val q133: Q = (s, dir) =>
+    graft.operators.Evaluation.binaryMetrics(Tables.embeddings(s, dir),
+      actual = col("label") % 2 === 0,
+      predicted = element_at(col("embedding"), 1).cast("double") > 0)
+
+  private val q133Sql = {
+    def r(e: String) = StableRound.sql(e, 6)
+    s"""WITH c AS (SELECT
+           CAST(count(CASE WHEN label % 2 = 0 AND CAST(embedding[1] AS DOUBLE) > 0 THEN 1 END) AS BIGINT) AS tp,
+           CAST(count(CASE WHEN label % 2 != 0 AND CAST(embedding[1] AS DOUBLE) > 0 THEN 1 END) AS BIGINT) AS fp,
+           CAST(count(CASE WHEN label % 2 = 0 AND NOT (CAST(embedding[1] AS DOUBLE) > 0) THEN 1 END) AS BIGINT) AS fn,
+           CAST(count(CASE WHEN label % 2 != 0 AND NOT (CAST(embedding[1] AS DOUBLE) > 0) THEN 1 END) AS BIGINT) AS tn
+         FROM embeddings)
+       SELECT tp, fp, fn, tn,
+              ${r("CAST(tp AS DOUBLE) / CAST(nullif(tp + fp, 0) AS DOUBLE)")} AS precision,
+              ${r("CAST(tp AS DOUBLE) / CAST(nullif(tp + fn, 0) AS DOUBLE)")} AS recall,
+              ${r("CAST(tp * 2 AS DOUBLE) / CAST(nullif(tp * 2 + fp + fn, 0) AS DOUBLE)")} AS f1,
+              ${r("CAST(tp + tn AS DOUBLE) / CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE)")} AS accuracy
+       FROM c"""
+  }
+
+  /** q134 — corpus overlap matrix: exact 3-gram shingle-set Jaccard
+    * between every pair of SOURCES — the dataset-level dedup diagnostic
+    * run before mixing corpora (a high-overlap source pair means one is
+    * largely redundant). Source-level sets collapse the corpus to
+    * (source, shingle) distinct postings first; the pair join runs on
+    * that collapsed index, never on documents. */
+  private val q134: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.TextExpressions.distinctShingleHashes(
+          graft.text.TextOps.tokens(col("text")), 3)).as("sh"))
+      .distinct()
+      .persist()
+    val sized = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = toks.join(sized, Seq("source"))
+      .select(col("sh"), col("source").as("src_a"), col("n").as("n_a"))
+    val b = toks.join(sized, Seq("source"))
+      .select(col("sh"), col("source").as("src_b"), col("n").as("n_b"))
+    val out = a.join(b, Seq("sh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("src_a"), col("src_b"),
+        StableRound.tieStableRound(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint()
+    toks.unpersist()
+    out
+  }
+
+  private val q134Sql =
+    s"""WITH docs AS (
+         SELECT source, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       toks AS (SELECT DISTINCT source, unnest(shingles) AS sh FROM docs),
+       sized AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+       SELECT a.source AS src_a, b.source AS src_b,
+              ${StableRound.sql(
+                "CAST(count(*) AS DOUBLE) / CAST(any_value(sa.n) + any_value(sb.n) - count(*) AS DOUBLE)", 4)} AS jaccard
+       FROM toks a JOIN toks b ON a.sh = b.sh AND a.source < b.source
+       JOIN sized sa ON sa.source = a.source
+       JOIN sized sb ON sb.source = b.source
+       GROUP BY a.source, b.source
+       ORDER BY src_a, src_b"""
+
   val defs: Map[String, Q] = Map(
     "q124_sssp"           -> q124,
     "q125_prefix_join"    -> q125,
@@ -369,7 +492,10 @@ object MiningQueries {
     "q128_delta_neardup"  -> q128,
     "q129_phrase_search"  -> q129,
     "q130_sole_late_supplier" -> q130,
-    "q131_quality_checks" -> q131)
+    "q131_quality_checks" -> q131,
+    "q132_grouped_ols"    -> q132,
+    "q133_binary_metrics" -> q133,
+    "q134_source_overlap" -> q134)
 
   val oracles: Map[String, String] = Map(
     "q124_sssp"           -> q124Sql,
@@ -379,5 +505,8 @@ object MiningQueries {
     "q128_delta_neardup"  -> q128Sql,
     "q129_phrase_search"  -> q129Sql,
     "q130_sole_late_supplier" -> q130Sql,
-    "q131_quality_checks" -> q131Sql)
+    "q131_quality_checks" -> q131Sql,
+    "q132_grouped_ols"    -> q132Sql,
+    "q133_binary_metrics" -> q133Sql,
+    "q134_source_overlap" -> q134Sql)
 }

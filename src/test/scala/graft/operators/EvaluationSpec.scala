@@ -64,4 +64,30 @@ class EvaluationSpec extends SparkSpec {
     val got = Evaluation.ksTest(df, "grp", "v", "sl").collect().head.getAs[Double]("ks")
     assert(math.abs(got - expect) < 1e-6)
   }
+
+  test("binaryMetrics: exact confusion counts and single-division ratios") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 TP, 1 FP, 2 FN, 4 TN
+    val df = (Seq.fill(3)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(4)((false, false)))
+      .toDF("actual", "predicted")
+    val r = Evaluation.binaryMetrics(df, col("actual"), col("predicted")).collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) == ((3L, 1L, 2L, 4L)))
+    assert(r.getAs[Double]("precision") == 0.75)       // 3/4
+    assert(r.getAs[Double]("recall") == 0.6)           // 3/5
+    assert(r.getAs[Double]("f1") == 0.666667)          // 6/9 rounded at 6
+    assert(r.getAs[Double]("accuracy") == 0.7)         // 7/10
+  }
+
+  test("binaryMetrics: degenerate denominators are null, not fabricated 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val allNeg = Seq((false, false), (false, false)).toDF("actual", "predicted")
+    val r = Evaluation.binaryMetrics(allNeg, col("actual"), col("predicted")).collect().head
+    assert(r.isNullAt(r.fieldIndex("precision"))) // no predicted positives
+    assert(r.isNullAt(r.fieldIndex("recall")))    // no actual positives
+    assert(r.getAs[Double]("accuracy") == 1.0)
+  }
 }
