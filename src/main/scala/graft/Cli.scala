@@ -19,6 +19,7 @@ import graft.pipeline.{GraphBundle, GraphSpec}
   *   graft.Cli neo4j-csv <nodes.jsonl> <edges.jsonl> <outDir>
   *   graft.Cli memgraph-csv <nodes.jsonl> <edges.jsonl> <outDir>
   *   graft.Cli curate <documents.parquet> <outDir>
+  *   graft.Cli quality <table.parquet> <keyCol> <outDir>
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -98,6 +99,19 @@ object Cli {
         .repartition(col("split"), col("shard"))
         .sortWithinPartitions(col("shard"), col("seq"))
         .write.mode("overwrite").partitionBy("split", "shard").parquet(out)
+    case "quality" =>
+      // data-quality gate: quality <table.parquet> <keyCol> <outDir> —
+      // completeness of EVERY column plus uniqueness of the declared key,
+      // all in one aggregation pass (graft.quality.Checks); the report
+      // parquet is the artifact a pipeline gate asserts on
+      import graft.quality.Checks._
+      val Array(_, tablePath, keyCol, out) = args
+      val df = spark.read.parquet(tablePath)
+      val suite = df.columns.toSeq.map(c =>
+        Completeness(s"completeness_$c", c): Check) :+
+        Uniqueness(s"unique_$keyCol", Seq(keyCol))
+      graft.quality.Checks.run(df, suite)
+        .coalesce(1).write.mode("overwrite").parquet(out)
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }

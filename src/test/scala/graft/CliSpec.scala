@@ -40,6 +40,17 @@ class CliSpec extends SparkSpec {
     assert(clf.getDouble(0) > -1.0 && clf.getDouble(1) < 1.0)
   }
 
+  test("quality command reports per-column completeness and key uniqueness") {
+    val out = Files.createTempDirectory("cli-quality-").toString
+    Cli.run(spark, Array("quality", s"$sf/documents.parquet", "doc_id", out))
+    val report = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val docCols = spark.read.parquet(s"$sf/documents.parquet").columns.toSet
+    docCols.foreach(c => assert(report.contains(s"completeness_$c")))
+    assert(report("unique_doc_id") == ((1.0, true)))
+    assert(report("completeness_doc_id") == ((1.0, true)))
+  }
+
   test("unknown source and unknown command both fail clearly") {
     intercept[IllegalArgumentException] {
       Cli.run(spark, Array("parse", "NotASource", "/tmp", "/tmp/out"))
