@@ -484,6 +484,92 @@ object MiningQueries {
        GROUP BY a.source, b.source
        ORDER BY src_a, src_b"""
 
+  /** q135 — embedding-space health diagnostics: per-DIMENSION n, mean,
+    * variance, min, max over milli-scaled integer features plus the
+    * dead-dimension ratio (|x| < 0.01) — the drift/collapse check run
+    * before trusting an embedding column for dedup or ANN (a dimension
+    * whose variance collapses or saturates poisons every cosine
+    * downstream). Exact arithmetic: variance via the integer identity
+    * (nΣx² − (Σx)²)/n², one division at the end. */
+  private val q135: Q = (s, dir) => {
+    val x = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("dim"),
+        floor(col("col").cast("double") * 1000).cast("long").as("x"))
+    val sums = x.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      count(when(abs(col("x")) < 10, 1)).as("n_dead"))
+    sums.select(col("dim"), col("n"),
+        StableRound.tieStableRound(
+          col("sx").cast("double") / col("n").cast("double"), 6).as("mean"),
+        StableRound.tieStableRound(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("n")).cast("double"), 6).as("variance"),
+        col("min_x"), col("max_x"),
+        StableRound.tieStableRound(
+          col("n_dead").cast("double") / col("n").cast("double"), 6).as("dead_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  private val q135Sql = {
+    def r(e: String) = StableRound.sql(e, 6)
+    s"""WITH x AS (
+         SELECT t.i AS dim,
+                CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS x
+         FROM embeddings, generate_series(1, 64) t(i)),
+       s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(x * x) AS BIGINT) AS sxx,
+                    min(x) AS min_x, max(x) AS max_x,
+                    CAST(count(CASE WHEN abs(x) < 10 THEN 1 END) AS BIGINT) AS n_dead
+             FROM x GROUP BY dim)
+       SELECT CAST(dim AS INTEGER) AS dim, n,
+              ${r("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean,
+              ${r("CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE)")} AS variance,
+              min_x, max_x,
+              ${r("CAST(n_dead AS DOUBLE) / CAST(n AS DOUBLE)")} AS dead_ratio
+       FROM s ORDER BY dim"""
+  }
+
+  /** q136 — reproducible walk sampling ([[graft.graph.Walks]]): one
+    * 3-hop hash-seeded walk from every part node of the supply graph —
+    * the deterministic walk-corpus primitive of graph-embedding prep.
+    * Node ordinal = the numeric id after the 'X:' prefix. Oracle: the
+    * three hops unrolled as row_number-argmin CTEs over the identical
+    * mixing hash. */
+  private val q136: Q = (s, dir) => {
+    val e = supplyWeightedEdges(s, dir).select(col("src"), col("dst")).persist()
+    val seeds = e.filter(col("src").startsWith("P:")).select(col("src").as("node"))
+    val out = graft.graph.Walks.run(e, seeds, steps = 3,
+      ord = c => substring(c, 3, 18).cast("long"))
+    e.unpersist()
+    out.orderBy(col("start"))
+  }
+
+  private val q136Sql = {
+    def score(cur: String, i: Int, dst: String) =
+      s"(CAST(substring($cur, 3) AS BIGINT) * 31 + $i * 17 + " +
+        s"CAST(substring($dst, 3) AS BIGINT) * 2654435761) % 1000003"
+    def hop(name: String, from: String, curCol: String, i: Int, keep: String) =
+      s"""$name AS (
+         SELECT $keep, dst AS hop$i FROM (
+           SELECT f.*, e.dst,
+                  row_number() OVER (PARTITION BY f.start
+                    ORDER BY ${score(s"f.$curCol", i, "e.dst")}, e.dst) AS rn
+           FROM $from f JOIN ed e ON e.src = f.$curCol) WHERE rn = 1)"""
+    s"""WITH ed AS MATERIALIZED (
+         SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
+         FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
+         UNION SELECT DISTINCT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+         UNION SELECT DISTINCT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation),
+       seeds AS (SELECT DISTINCT src AS start FROM ed WHERE src LIKE 'P:%'),
+       ${hop("w1", "seeds", "start", 1, "start")},
+       ${hop("w2", "w1", "hop1", 2, "start, hop1")},
+       ${hop("w3", "w2", "hop2", 3, "start, hop1, hop2")}
+       SELECT start, hop1, hop2, hop3 FROM w3 ORDER BY start"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q124_sssp"           -> q124,
     "q125_prefix_join"    -> q125,
@@ -495,7 +581,9 @@ object MiningQueries {
     "q131_quality_checks" -> q131,
     "q132_grouped_ols"    -> q132,
     "q133_binary_metrics" -> q133,
-    "q134_source_overlap" -> q134)
+    "q134_source_overlap" -> q134,
+    "q135_embedding_diag" -> q135,
+    "q136_walk_sampling"  -> q136)
 
   val oracles: Map[String, String] = Map(
     "q124_sssp"           -> q124Sql,
@@ -508,5 +596,7 @@ object MiningQueries {
     "q131_quality_checks" -> q131Sql,
     "q132_grouped_ols"    -> q132Sql,
     "q133_binary_metrics" -> q133Sql,
-    "q134_source_overlap" -> q134Sql)
+    "q134_source_overlap" -> q134Sql,
+    "q135_embedding_diag" -> q135Sql,
+    "q136_walk_sampling"  -> q136Sql)
 }
