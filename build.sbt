@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests only: ~80 suites share one session and sbt runs them
+// concurrently; give the test JVM extra headroom over the 8g run
+// default (a later -Xmx wins) so a momentary overlap of persisted
+// fixtures can't abort a suite. graft.Bench/ScaleSmoke stay on the 8g
+// run setting — the merge-smoke memory envelope is measured there.
+Test / javaOptions += "-Xmx12g"

@@ -9,11 +9,15 @@ import graft.functions.StableRound
   * (Bellman-Ford), exact prefix-filtered set-similarity join
   * (AllPairs/PPJoin), deterministic integer k-means (Lloyd), density
   * clustering (DBSCAN), incremental batch-vs-index near-dup, positional
-  * phrase search, and the TPC-H Q21-shaped correlated anti/semi-join.
-  * Each query's oracle is the independent textbook construction in
-  * DuckDB — recursive-CTE path enumeration, uncapped all-pairs Jaccard,
-  * unrolled Lloyd iterations, ε-neighborhood closure, full-scan bigram
-  * comprehension, and literal EXISTS/NOT-EXISTS respectively.
+  * phrase search, the TPC-H Q21-shaped correlated anti/semi-join, the
+  * declarative data-quality suite, grouped OLS trends, binary confusion
+  * metrics, the source-overlap matrix, embedding-dimension diagnostics,
+  * and reproducible walk sampling. Each query's oracle is the
+  * independent textbook construction in DuckDB — recursive-CTE path
+  * enumeration, uncapped all-pairs Jaccard, unrolled Lloyd iterations,
+  * ε-neighborhood closure, full-scan bigram comprehension, literal
+  * EXISTS/NOT-EXISTS, literal SQL aggregates, and unrolled argmin CTEs
+  * respectively.
   */
 object MiningQueries {
 
