@@ -19,10 +19,10 @@ import org.apache.spark.sql.SparkSession
   * The round-8 artifact showed loadavg is not enough: HOST-level CPU
   * steal (sibling containers competing for the physical cores) inflated
   * the smoke figures 4-15× while this container's loadavg stayed clean.
-  * A fixed CPU work unit (`cpuProbe`) now runs at every phase boundary;
-  * its wall time stretches under any contention, container-visible or
-  * not, and `probe_spread` (max/min) > 2 also marks the artifact
-  * contaminated.
+  * A fixed CPU work unit (`cpuProbe`) now runs at every phase boundary
+  * (as `boundaryProbe`, the min of 3 reps — blip-robust); its wall time
+  * stretches under any contention, container-visible or not, and
+  * `probe_spread` (max/min) > 2 also marks the artifact contaminated.
   */
 object Bench {
   val iterations = 3
@@ -57,12 +57,23 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Boundary probe = MIN of 3 consecutive work units. A sub-second host
+    * blip landing exactly inside one ~0.65 s probe window used to poison
+    * a whole 16-minute artifact whose every phase measurement sat inside
+    * its pin (observed twice in one session: single samples of 1.7 s and
+    * 3.0 s amid 0.6-0.7 s neighbors). The min is still an honest
+    * contention signal: SUSTAINED steal squeezing an actual measurement
+    * phase stretches all three reps, so the min stays high; only
+    * blips shorter than the probe itself are forgiven. */
+  private def boundaryProbe(threads: Int): Double =
+    (1 to 3).map(_ => cpuProbe(threads)).min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(benchCpus.toString)
     val loadBefore = load1()
-    val probes = scala.collection.mutable.ArrayBuffer(cpuProbe(benchCpus))
+    val probes = scala.collection.mutable.ArrayBuffer(boundaryProbe(benchCpus))
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -133,7 +144,7 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-    probes += cpuProbe(benchCpus) // phase boundary: queries done
+    probes += boundaryProbe(benchCpus) // phase boundary: queries done
     writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0), -3.0, -3.0, (-3.0, 0L, 0L, 0L),
       load1(), partial = true))
     // SPARK_GRAFT_SMOKES=0: queries-only run for local iteration (the scale
@@ -168,7 +179,7 @@ object Bench {
     val dedupCurve = Seq(1000000L, 2000000L, 4000000L).map { n =>
       try {
         val (secs, dups, expected) = DedupScaleSmoke.run(freshSmokeSession(), n)
-        probes += cpuProbe(benchCpus) // boundary after each curve point
+        probes += boundaryProbe(benchCpus) // boundary after each curve point
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     }
@@ -178,7 +189,7 @@ object Bench {
       try {
         val (secs, dups, expected) =
           DedupScaleSmoke.runWinnowing(freshSmokeSession(), 1000000L)
-        probes += cpuProbe(benchCpus)
+        probes += boundaryProbe(benchCpus)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     // the exact substring-span engine (q67 semantics) over the same 1M
@@ -187,7 +198,7 @@ object Bench {
       try {
         val (secs, dups, expected) =
           DedupScaleSmoke.runSubstring(freshSmokeSession(), 1000000L)
-        probes += cpuProbe(benchCpus)
+        probes += boundaryProbe(benchCpus)
         if (dups == expected) secs else -2.0
       } catch { case _: Throwable => -1.0 }
     // merge envelope: 2×25M overlapping sources (50M input rows — an order
@@ -198,7 +209,7 @@ object Bench {
       try {
         val n = 25000000L
         val r = ScaleSmoke.run(freshSmokeSession(), n)
-        probes += cpuProbe(benchCpus)
+        probes += boundaryProbe(benchCpus)
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
       } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
