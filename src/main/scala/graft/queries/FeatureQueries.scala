@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.StableRound
+
+/** Warehouse / feature-store operators: CDC change-log application
+  * (the lakehouse MERGE shape), multi-touch attribution, time-weighted
+  * averages over irregular samples, and market-concentration (HHI)
+  * rollups. All exact-arithmetic, all oracled against literal SQL
+  * formulations in DuckDB.
+  */
+object FeatureQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q137 — CDC change-log application: the events stream re-read as an
+    * upsert/delete log per (user, event_type) key — 'error' rows are
+    * deletes, everything else upserts value — collapsed to final table
+    * state by ONE struct-max aggregation per key (latest (ts, event_id)
+    * wins; no per-key window over the whole log). The lakehouse MERGE
+    * INTO shape without the engine dependency: at 100 TB the log is the
+    * only shuffled input, keys never rescan history. */
+  private val q137: Q = (s, dir) => {
+    val log = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"), col("value"),
+        (col("event_type") === "error").as("is_delete"))
+    log.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"),
+        col("is_delete"), col("value"))).as("last"))
+      .filter(!col("last.is_delete"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        coalesce(col("last.value"), lit(-1.0)).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q137Sql =
+    """SELECT user_id, event_type, last_event_id, value FROM (
+         SELECT user_id, event_type, event_id AS last_event_id,
+                coalesce(value, -1.0) AS value,
+                event_type = 'error' AS is_delete,
+                row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 AND NOT is_delete
+       ORDER BY user_id, event_type"""
+
+  /** q138 — multi-touch attribution: for every purchase, the FIRST and
+    * LAST click by the same user in the preceding 7 days plus the touch
+    * count — assigning conversion credit, where the funnel/cohort ops
+    * only aggregate. One bounded range join (the q72 machinery shape)
+    * feeds min/max/count struct aggregation per conversion. */
+  private val q138: Q = (s, dir) => {
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val touches = graft.operators.RangeJoin.pairsPreceding(
+      purchases, clicks, keys = Seq("user_id"), leftTs = "ts", rightTs = "cts",
+      spanMicros = 7L * 24 * 3600 * 1000000L, rightPayload = Seq("click_id"))
+    val credited = touches.groupBy(col("event_id"))
+      .agg(min(struct(col("matched_ts"), col("click_id"))).as("first"),
+        max(struct(col("matched_ts"), col("click_id"))).as("last"),
+        count(lit(1)).as("n_touches"))
+    purchases.join(credited, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        col("first.click_id").as("first_click"),
+        col("last.click_id").as("last_click"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q138Sql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                  FROM events WHERE event_type = 'click'),
+            t AS (SELECT p.event_id, c.cts, c.click_id
+                  FROM p JOIN c ON p.user_id = c.user_id
+                   AND c.cts > p.ts - INTERVAL 7 DAY AND c.cts <= p.ts),
+            ranked AS (SELECT event_id, click_id,
+                              row_number() OVER (PARTITION BY event_id
+                                ORDER BY cts ASC, click_id ASC) AS rf,
+                              row_number() OVER (PARTITION BY event_id
+                                ORDER BY cts DESC, click_id DESC) AS rl
+                       FROM t),
+            agg AS (SELECT event_id,
+                           max(CASE WHEN rf = 1 THEN click_id END) AS first_click,
+                           max(CASE WHEN rl = 1 THEN click_id END) AS last_click,
+                           CAST(count(*) AS BIGINT) AS n_touches
+                    FROM ranked GROUP BY event_id)
+       SELECT p.event_id, p.user_id, agg.first_click, agg.last_click,
+              coalesce(agg.n_touches, 0) AS n_touches
+       FROM p LEFT JOIN agg ON p.event_id = agg.event_id
+       ORDER BY p.event_id"""
+
+  /** q139 — time-weighted average (TWAP) per user: each observation
+    * holds until the next one (LOCF weighting), so the mean is
+    * Σ(valueᵢ·holdᵢ)/Σholdᵢ over the user's observation span — the
+    * feature-store aggregate for irregularly sampled signals, where a
+    * plain avg() overweights bursts. Exact arithmetic: cents × whole
+    * seconds products summed as longs (≤3e15 at sf0.1), one division.
+    * The last observation of each user carries no hold (span-bounded
+    * integral); single-observation users yield null. */
+  private val q139: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val held = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("_next_us", lead(unix_micros(col("ts")), 1).over(w))
+      // integer `div`: Spark's `/` on longs is double division
+      .withColumn("hold_s", expr("(_next_us - unix_micros(ts)) div 1000000"))
+      .filter(col("hold_s").isNotNull)
+    held.groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("hold_s")).as("wsum"),
+        sum(col("hold_s")).as("span_s"))
+      .select(col("user_id"), col("span_s"),
+        StableRound.tieStableRound(
+          col("wsum").cast("double") /
+            when(col("span_s") === 0, null).otherwise(col("span_s")).cast("double") / 100.0,
+          6).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q139Sql = {
+    val twap = "CAST(wsum AS DOUBLE) / CAST(nullif(span_s, 0) AS DOUBLE) / 100.0"
+    s"""WITH held AS (
+         SELECT user_id,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                CAST((lead(epoch_us(ts), 1) OVER w - epoch_us(ts)) // 1000000 AS BIGINT) AS hold_s
+         FROM events WHERE value IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       agg AS (SELECT user_id, CAST(sum(cents * hold_s) AS BIGINT) AS wsum,
+                      CAST(sum(hold_s) AS BIGINT) AS span_s
+               FROM held WHERE hold_s IS NOT NULL GROUP BY user_id)
+       SELECT user_id, span_s, ${StableRound.sql(twap, 6)} AS twap
+       FROM agg ORDER BY user_id"""
+  }
+
+  /** q140 — market-concentration rollup: Herfindahl-Hirschman index of
+    * supplier revenue within each region — HHI = Σ shareᵢ² = Σsᵢ²/S²,
+    * computed as ONE division of exact integer sums. Per-supplier
+    * revenue aggregates in exact CENTS, then quantizes to
+    * thousands-of-dollars units (integer div) so sᵢ ≤ ~4e6 at sf0.1 and
+    * both Σsᵢ² and S² sit orders of magnitude inside Long — a
+    * structural bound, not a data-dependent hope. The
+    * concentration/skew audit for partitioning decisions as much as for
+    * markets: HHI → 1 means one supplier (or one key) dominates. */
+  private val q140: Q = (s, dir) => {
+    val revenue = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("region"), col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("region"), expr("cents div 100000").as("s_i"))
+    revenue.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_i") * col("s_i")).as("sum_sq"), sum(col("s_i")).as("total"))
+      .select(col("region"), col("n_suppliers"),
+        StableRound.tieStableRound(
+          col("sum_sq").cast("double") / (col("total") * col("total")).cast("double"),
+          8).as("hhi"))
+      .orderBy(col("region"))
+  }
+
+  private val q140Sql = {
+    val hhi = "CAST(sum_sq AS DOUBLE) / CAST(total * total AS DOUBLE)"
+    s"""WITH rev AS (
+         SELECT region,
+                CAST(cents AS BIGINT) // 100000 AS s_i
+         FROM (SELECT n_regionkey AS region, l_suppkey,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY 1, 2)),
+       agg AS (SELECT region, CAST(count(*) AS BIGINT) AS n_suppliers,
+                      CAST(sum(s_i * s_i) AS BIGINT) AS sum_sq,
+                      CAST(sum(s_i) AS BIGINT) AS total
+               FROM rev GROUP BY region)
+       SELECT region, n_suppliers, ${StableRound.sql(hhi, 8)} AS hhi
+       FROM agg ORDER BY region"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q137_cdc_apply"   -> q137,
+    "q138_attribution" -> q138,
+    "q139_twap"        -> q139,
+    "q140_hhi"         -> q140)
+
+  val oracles: Map[String, String] = Map(
+    "q137_cdc_apply"   -> q137Sql,
+    "q138_attribution" -> q138Sql,
+    "q139_twap"        -> q139Sql,
+    "q140_hhi"         -> q140Sql)
+}
