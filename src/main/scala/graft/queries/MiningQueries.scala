@@ -574,6 +574,97 @@ object MiningQueries {
        SELECT start, hop1, hop2, hop3 FROM w3 ORDER BY start"""
   }
 
+  /** q141 — greedy k-center coreset ([[graft.sim.KCenter]]): 6 centers
+    * over the first 4 embedding dims by farthest-point traversal — the
+    * diversity sample that covers the space where random sampling
+    * oversamples dense regions. Oracle: the greedy steps unrolled as
+    * argmax CTEs over the identical integer distances. */
+  private val kcK = 6
+
+  private val q141: Q = (s, dir) => {
+    val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      expr("transform(slice(embedding, 1, 4), e -> cast(floor(cast(e as double) * 1000) as long))").as("x"))
+    graft.sim.KCenter.select(pts, k = kcK, dims = 4)
+      .select(col("rank").as("sel_rank"), col("id"), col("d2"))
+      .orderBy(col("sel_rank"))
+  }
+
+  private val q141Sql: String = {
+    val dims = 1 to 4
+    val xCols = dims.map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) AS x$i").mkString(", ")
+    def dist(a: String, b: String) = dims.map(i =>
+      s"($a.x$i - $b.x$i) * ($a.x$i - $b.x$i)").mkString(" + ")
+    val steps = (2 to kcK).map { r =>
+      s"""c$r AS (SELECT * FROM d${r - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         d$r AS (SELECT d.vec_id, ${dims.map(i => s"d.x$i").mkString(", ")},
+                        least(d.dmin, ${dist("d", "c")}) AS dmin
+                 FROM d${r - 1} d CROSS JOIN c$r c)"""
+    }.mkString(",\n")
+    val sel = (2 to kcK).map(r =>
+      s"UNION ALL SELECT $r, vec_id, dmin FROM c$r").mkString("\n")
+    s"""WITH p AS (SELECT vec_id, $xCols FROM embeddings),
+       c1 AS (SELECT * FROM p ORDER BY vec_id LIMIT 1),
+       d1 AS (SELECT p.vec_id, ${dims.map(i => s"p.x$i").mkString(", ")},
+                     ${dist("p", "c")} AS dmin
+              FROM p CROSS JOIN c1 c),
+       $steps,
+       sel(sel_rank, vec_id, d2) AS (
+         SELECT 1, vec_id, CAST(0 AS BIGINT) FROM c1
+         $sel)
+       SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id AS id, CAST(d2 AS BIGINT) AS d2
+       FROM sel ORDER BY sel_rank"""
+  }
+
+  /** q142 — degree assortativity of the (undirected) supply graph:
+    * Pearson correlation of endpoint degrees over the symmetric edge
+    * list, from exact integer sufficient statistics — one division and
+    * one IEEE sqrt at the end. Negative r = hub-to-leaf wiring
+    * (disassortative, the expected shape for a supply star schema). */
+  private val q142: Q = (s, dir) => {
+    val fwd = supplyWeightedEdges(s, dir).select(col("src"), col("dst"))
+    val und = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val sums = pairs.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    sums.select(col("n").as("n_endpoints"),
+      StableRound.tieStableRound(
+        num / when(varx * vary <= 0, null).otherwise(sqrt(varx * vary)), 6)
+        .as("assortativity"))
+  }
+
+  private val q142Sql = {
+    val r = "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN NULL " +
+      "ELSE sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) END"
+    s"""WITH ed AS (
+         SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
+         FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
+         UNION SELECT DISTINCT 'S:' || s_suppkey, 'N:' || s_nationkey FROM supplier
+         UNION SELECT DISTINCT 'N:' || n_nationkey, 'R:' || n_regionkey FROM nation),
+       und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+       pairs AS (SELECT a.deg AS dx, b.deg AS dy
+                 FROM und JOIN deg a ON und.src = a.node JOIN deg b ON und.dst = b.node),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                    CAST(sum(dy * dy) AS BIGINT) AS syy
+             FROM pairs)
+       SELECT n AS n_endpoints, ${StableRound.sql(r, 6)} AS assortativity FROM s"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q124_sssp"           -> q124,
     "q125_prefix_join"    -> q125,
@@ -587,7 +678,9 @@ object MiningQueries {
     "q133_binary_metrics" -> q133,
     "q134_source_overlap" -> q134,
     "q135_embedding_diag" -> q135,
-    "q136_walk_sampling"  -> q136)
+    "q136_walk_sampling"  -> q136,
+    "q141_kcenter"        -> q141,
+    "q142_assortativity"  -> q142)
 
   val oracles: Map[String, String] = Map(
     "q124_sssp"           -> q124Sql,
@@ -602,5 +695,7 @@ object MiningQueries {
     "q133_binary_metrics" -> q133Sql,
     "q134_source_overlap" -> q134Sql,
     "q135_embedding_diag" -> q135Sql,
-    "q136_walk_sampling"  -> q136Sql)
+    "q136_walk_sampling"  -> q136Sql,
+    "q141_kcenter"        -> q141Sql,
+    "q142_assortativity"  -> q142Sql)
 }

@@ -1,0 +1,65 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center coreset selection (farthest-point traversal;
+  * Gonzalez 1985 — the classic 2-approximation to the k-center
+  * objective): pick the point that maximizes the minimum distance to
+  * the centers chosen so far, k times. The diversity-sampling primitive
+  * of training-data curation — a coreset that COVERS the embedding
+  * space, where random sampling oversamples dense regions and
+  * [[IntKMeans]] needs k up front to balance them.
+  *
+  * Determinism: integer milli-scaled coordinates (exact 64-bit squared
+  * L2), seed-free start (smallest id), and argmax ties broken to the
+  * smallest id via lexicographic struct ordering — the selection
+  * sequence is a pure function of the input multiset, so the unrolled
+  * per-step argmax is oracle-expressible.
+  *
+  * Scale shape: the per-point rolling min-distance column updates
+  * map-side (the new center rides the plan as a literal — no join, no
+  * shuffle); each step's argmax is ONE map-combined struct-max
+  * aggregate. k steps = k narrow passes over a persisted table; the
+  * classic trade of the sequential greedy (k passes) for full
+  * parallelism within each pass.
+  */
+object KCenter {
+
+  /** Select k centers from `points` (id: long, x: array<long> of length
+    * dims). Returns (rank, id, d2): the selection order (1-based), the
+    * chosen point, and its min squared distance to all PRIOR centers at
+    * selection time (0 for the seed; non-increasing thereafter — the
+    * covering-radius sequence). */
+  def select(points: DataFrame, k: Int, dims: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    def d2To(cx: Array[Long]) = (0 until dims).map { i =>
+      val d = element_at(col("x"), i + 1) - lit(cx(i))
+      d * d
+    }.reduce(_ + _)
+    val seed = points.orderBy(col("id")).limit(1).collect().head
+    val seedX = seed.getAs[scala.collection.Seq[Long]]("x").toArray
+    var chosen = List((1, seed.getAs[Long]("id"), 0L))
+    var cur = points.select(col("id").cast("long").as("id"), col("x"))
+      .withColumn("dmin", d2To(seedX))
+      .persist()
+    cur.count()
+    for (rank <- 2 to k) {
+      // argmax(dmin), ties to the SMALLEST id: struct max compares dmin
+      // first, then -id (max of -id = min id); x rides along for the
+      // next update's literal
+      val next = cur.agg(max(struct(col("dmin"), (-col("id")).as("nid"),
+        col("x"))).as("m")).select(col("m.*")).collect().head
+      val nid = -next.getAs[Long]("nid")
+      val nx = next.getAs[scala.collection.Seq[Long]]("x").toArray
+      chosen ::= ((rank, nid, next.getAs[Long]("dmin")))
+      val updated = cur.withColumn("dmin", least(col("dmin"), d2To(nx))).persist()
+      updated.count()
+      cur.unpersist()
+      cur = updated
+    }
+    cur.unpersist()
+    chosen.reverse.toDF("rank", "id", "d2")
+  }
+}
