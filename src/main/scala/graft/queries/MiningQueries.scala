@@ -665,6 +665,84 @@ object MiningQueries {
        SELECT n AS n_endpoints, ${StableRound.sql(r, 6)} AS assortativity FROM s"""
   }
 
+  /** q143 — dedup audit report: the q41 near-dup clustering re-read as
+    * OBSERVABILITY — per cluster size, how many clusters exist and how
+    * many characters dropping non-canonical members saves. The report a
+    * corpus owner reads before committing to a dedup pass (one giant
+    * cluster and many pairs are very different corpora with the same
+    * pair count). Oracle: the recursive-closure components + the same
+    * histogram. */
+  private val q143: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.1, dfCap = 100)
+    val canon = graft.dedup.Components.canonicalize(
+      docs.select(col("doc_id").as("id")), pairs)
+    val sized = canon.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(when(col("is_duplicate"), col("n_chars")).otherwise(0L)).as("chars_dropped"))
+    sized.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("chars_dropped")).as("chars_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q143Sql =
+    """WITH RECURSIVE
+       docs AS (
+         SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents WHERE length(trim(text)) > 0)),
+       sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles
+                 FROM docs WHERE len(shingles) > 0),
+       inverted AS (SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized),
+       hot AS (SELECT shingle FROM inverted GROUP BY shingle HAVING count(*) > 100),
+       cold AS (SELECT * FROM inverted WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING """ + StableRound.sql(
+      "CAST(count(*) AS DOUBLE) / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))", 4) +
+      """ >= 0.1),
+       und AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       reach AS (SELECT s AS root, s AS node FROM und
+                 UNION SELECT r.root, u.d FROM reach r JOIN und u ON r.node = u.s),
+       comp AS (SELECT node, min(root) AS canonical FROM reach GROUP BY node),
+       canon AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id,
+                        d.n_chars
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       clusters AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
+                           CAST(sum(CASE WHEN doc_id != canonical_id
+                                    THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+                    FROM canon GROUP BY canonical_id)
+       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(chars_dropped) AS BIGINT) AS chars_dropped
+       FROM clusters GROUP BY cluster_size ORDER BY cluster_size"""
+
+  /** q144 — l-diversity audit (companion to q99's k-anonymity): per
+    * quasi-identifier class (nation, market segment), the count of
+    * DISTINCT sensitive values (account-balance bands) — a class can be
+    * k-anonymous yet still leak when every member shares one sensitive
+    * value (Machanavajjhala et al., ICDE 2006). weak = fewer than 2
+    * bands. One aggregation, exact integers. */
+  private val q144: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .withColumn("band", floor(col("c_acctbal") / 1000.0).cast("long"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("band")).as("l_distinct"))
+      .withColumn("weak", col("l_distinct") < 2)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  private val q144Sql =
+    """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size,
+              CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS l_distinct,
+              count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 2 AS weak
+       FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Map[String, Q] = Map(
     "q124_sssp"           -> q124,
     "q125_prefix_join"    -> q125,
@@ -680,7 +758,9 @@ object MiningQueries {
     "q135_embedding_diag" -> q135,
     "q136_walk_sampling"  -> q136,
     "q141_kcenter"        -> q141,
-    "q142_assortativity"  -> q142)
+    "q142_assortativity"  -> q142,
+    "q143_dedup_audit"    -> q143,
+    "q144_l_diversity"    -> q144)
 
   val oracles: Map[String, String] = Map(
     "q124_sssp"           -> q124Sql,
@@ -697,5 +777,7 @@ object MiningQueries {
     "q135_embedding_diag" -> q135Sql,
     "q136_walk_sampling"  -> q136Sql,
     "q141_kcenter"        -> q141Sql,
-    "q142_assortativity"  -> q142Sql)
+    "q142_assortativity"  -> q142Sql,
+    "q143_dedup_audit"    -> q143Sql,
+    "q144_l_diversity"    -> q144Sql)
 }
