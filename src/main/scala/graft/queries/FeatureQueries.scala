@@ -188,15 +188,93 @@ object FeatureQueries {
        FROM agg ORDER BY region"""
   }
 
+  /** q145 — NATIVE batch session windows: Spark's `session_window`
+    * operator (gap-merged dynamic windows inside the aggregation,
+    * no self-join, no lag scan) over the same 30-minute-gap semantics
+    * q14 builds by hand with lag/running-sum — the q34/q35 pattern:
+    * two different engines, one truth. Boundary rule: an event exactly
+    * `gap` after the previous one starts a NEW session (session
+    * intervals are half-open), hence the `>=` in the oracle's gap
+    * test. */
+  private val q145: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("cents"), lit(0L)).as("sum_cents"),
+        unix_millis(col("session_window.start")).as("started_ms"),
+        unix_millis(col("session_window.end")).as("ended_ms"))
+      .orderBy(col("user_id"), col("started_ms"))
+
+  private val q145Sql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_cents,
+              epoch_ms(min(ts)) AS started_ms,
+              epoch_ms(max(ts)) + 1800000 AS ended_ms
+       FROM (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         FROM (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)))
+       GROUP BY user_id, session_no ORDER BY user_id, started_ms"""
+
+  /** q146 — period-over-period reporting: weekly order revenue per
+    * priority with the week-over-week relative change — cents-exact
+    * weekly sums, change as ONE division of exact integers (an integer
+    * basis-point div would diverge on negative deltas: Spark `div`
+    * truncates toward zero, DuckDB `//` floors). */
+  private val q146: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("week"))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        to_date(date_trunc("week", col("o_orderdate"))).as("week"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .withColumn("prev", lag(col("revenue_cents"), 1).over(w))
+      .withColumn("week", date_format(col("week"), "yyyy-MM-dd"))
+      .select(col("o_orderpriority"), col("week"), col("revenue_cents"),
+        StableRound.tieStableRound(
+          (col("revenue_cents") - col("prev")).cast("double") /
+            when(col("prev") === 0, null).otherwise(col("prev")).cast("double"),
+          6).as("wow_change"))
+      .orderBy(col("o_orderpriority"), col("week"))
+  }
+
+  private val q146Sql = {
+    val change = "CAST(revenue_cents - prev AS DOUBLE) / CAST(nullif(prev, 0) AS DOUBLE)"
+    s"""WITH weekly AS (
+         SELECT o_orderpriority, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM orders GROUP BY 1, 2),
+       lagged AS (
+         SELECT o_orderpriority, week, revenue_cents,
+                lag(revenue_cents, 1) OVER (PARTITION BY o_orderpriority ORDER BY week) AS prev
+         FROM weekly)
+       SELECT o_orderpriority, strftime(week, '%Y-%m-%d') AS week, revenue_cents,
+              ${StableRound.sql(change, 6)} AS wow_change
+       FROM lagged ORDER BY o_orderpriority, week"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q137_cdc_apply"   -> q137,
     "q138_attribution" -> q138,
     "q139_twap"        -> q139,
-    "q140_hhi"         -> q140)
+    "q140_hhi"         -> q140,
+    "q145_session_window" -> q145,
+    "q146_wow_change"  -> q146)
 
   val oracles: Map[String, String] = Map(
     "q137_cdc_apply"   -> q137Sql,
     "q138_attribution" -> q138Sql,
     "q139_twap"        -> q139Sql,
-    "q140_hhi"         -> q140Sql)
+    "q140_hhi"         -> q140Sql,
+    "q145_session_window" -> q145Sql,
+    "q146_wow_change"  -> q146Sql)
 }
