@@ -262,13 +262,108 @@ object FeatureQueries {
        FROM lagged ORDER BY o_orderpriority, week"""
   }
 
+  /** q147 — incremental view maintenance: a per-(type, day) aggregate
+    * view maintained from a delta batch (event_id ≡ 0 mod 10) against
+    * the standing base aggregate — only DELTAS aggregate and shuffle,
+    * history is never rescanned (at 100 TB the base agg is a persisted
+    * table; this full-outer merge is the whole nightly job). Output
+    * carries the audit columns (n_base, n_delta) alongside the merged
+    * view so a maintenance bug is visible in the artifact. */
+  private val q147: Q = (s, dir) => {
+    def agg(delta: Boolean) = Tables.events(s, dir)
+      .filter(if (delta) col("event_id") % 10 === 0 else col("event_id") % 10 =!= 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")).as("cents"))
+    agg(delta = false).select(col("event_type"), col("day"),
+        col("n").as("n_base"), col("cents").as("c_base"))
+      .join(agg(delta = true).select(col("event_type"), col("day"),
+        col("n").as("n_delta"), col("cents").as("c_delta")),
+        Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n_total"),
+        (coalesce(col("c_base"), lit(0L)) + coalesce(col("c_delta"), lit(0L))).as("cents_total"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q147Sql =
+    """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                  FROM events WHERE event_id % 10 != 0 GROUP BY 1, 2),
+            d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+       SELECT coalesce(b.event_type, d.event_type) AS event_type,
+              strftime(coalesce(b.day, d.day), '%Y-%m-%d') AS day,
+              coalesce(b.n, 0) AS n_base, coalesce(d.n, 0) AS n_delta,
+              coalesce(b.n, 0) + coalesce(d.n, 0) AS n_total,
+              coalesce(b.cents, 0) + coalesce(d.cents, 0) AS cents_total
+       FROM b FULL OUTER JOIN d ON b.event_type = d.event_type AND b.day = d.day
+       ORDER BY event_type, day"""
+
+  /** q148 — time-travel read over the q86 SCD2 history: the orders
+    * dimension AS OF 1995-06-01 — one validity-interval filter over the
+    * version chain, the lakehouse `VERSION AS OF` read without the
+    * engine dependency. */
+  private val q148: Q = (s, dir) => {
+    import graft.functions.StableRound.tieStableRound
+    val o = Tables.orders(s, dir)
+    val base = o.select(col("o_orderkey"), col("o_orderdate").as("eff_ts"),
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    def feed(mod: Int, days: Int) = o.filter(col("o_orderkey") % mod === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr(s"INTERVAL $days DAYS")).as("eff_ts"),
+        lit("X").as("status"),
+        tieStableRound(col("o_totalprice") * 1.1, 2).as("price"))
+    graft.operators.Scd2.history(
+        base.unionByName(feed(7, 30)).unionByName(feed(14, 60)),
+        "o_orderkey", "eff_ts", Seq("status", "price"))
+      .filter(col("valid_from") <= lit("1995-06-01").cast("date") &&
+        (col("valid_to").isNull || col("valid_to") > lit("1995-06-01").cast("date")))
+      .select(col("o_orderkey"), col("status"), col("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q148Sql = {
+    val priced = StableRound.sql("o_totalprice * 1.1", 2)
+    s"""WITH base AS (SELECT o_orderkey, o_orderdate AS eff_ts,
+                             o_orderstatus AS status, o_totalprice AS price
+                      FROM orders),
+            u1 AS (SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY,
+                          'X', $priced FROM orders WHERE o_orderkey % 7 = 0),
+            u2 AS (SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY,
+                          'X', $priced FROM orders WHERE o_orderkey % 14 = 0),
+            r AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+                  UNION ALL SELECT * FROM u2),
+            g AS (SELECT r.*, row_number() OVER w AS rn,
+                         lag(status) OVER w AS ps, lag(price) OVER w AS pp
+                  FROM r WINDOW w AS (PARTITION BY o_orderkey ORDER BY eff_ts)),
+            chg AS (SELECT * FROM g
+                    WHERE rn = 1 OR ps IS DISTINCT FROM status
+                                 OR pp IS DISTINCT FROM price),
+            v AS (SELECT o_orderkey, status, price, eff_ts AS valid_from,
+                         lead(eff_ts) OVER (PARTITION BY o_orderkey
+                                            ORDER BY eff_ts) AS valid_to
+                  FROM chg)
+       SELECT o_orderkey, status, price FROM v
+       WHERE valid_from <= DATE '1995-06-01'
+         AND (valid_to IS NULL OR valid_to > DATE '1995-06-01')
+       ORDER BY o_orderkey"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q137_cdc_apply"   -> q137,
     "q138_attribution" -> q138,
     "q139_twap"        -> q139,
     "q140_hhi"         -> q140,
     "q145_session_window" -> q145,
-    "q146_wow_change"  -> q146)
+    "q146_wow_change"  -> q146,
+    "q147_ivm_merge"   -> q147,
+    "q148_time_travel" -> q148)
 
   val oracles: Map[String, String] = Map(
     "q137_cdc_apply"   -> q137Sql,
@@ -276,5 +371,7 @@ object FeatureQueries {
     "q139_twap"        -> q139Sql,
     "q140_hhi"         -> q140Sql,
     "q145_session_window" -> q145Sql,
-    "q146_wow_change"  -> q146Sql)
+    "q146_wow_change"  -> q146Sql,
+    "q147_ivm_merge"   -> q147Sql,
+    "q148_time_travel" -> q148Sql)
 }
