@@ -310,6 +310,23 @@ object FeatureQueries {
     * version chain, the lakehouse `VERSION AS OF` read without the
     * engine dependency. */
   private val q148: Q = (s, dir) => {
+    orderVersions(s, dir)
+      .filter(col("valid_from") <= lit("1995-06-01").cast("date") &&
+        (col("valid_to").isNull || col("valid_to") > lit("1995-06-01").cast("date")))
+      .select(col("o_orderkey"), col("status"), col("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q148Sql =
+    s"""WITH $versionsCte
+       SELECT o_orderkey, status, price FROM v
+       WHERE valid_from <= DATE '1995-06-01'
+         AND (valid_to IS NULL OR valid_to > DATE '1995-06-01')
+       ORDER BY o_orderkey"""
+
+  /** The q86/q148 SCD2 version chain, shared by the time-travel read and
+    * the point-in-time join. */
+  private def orderVersions(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.StableRound.tieStableRound
     val o = Tables.orders(s, dir)
     val base = o.select(col("o_orderkey"), col("o_orderdate").as("eff_ts"),
@@ -320,39 +337,112 @@ object FeatureQueries {
         lit("X").as("status"),
         tieStableRound(col("o_totalprice") * 1.1, 2).as("price"))
     graft.operators.Scd2.history(
-        base.unionByName(feed(7, 30)).unionByName(feed(14, 60)),
-        "o_orderkey", "eff_ts", Seq("status", "price"))
-      .filter(col("valid_from") <= lit("1995-06-01").cast("date") &&
-        (col("valid_to").isNull || col("valid_to") > lit("1995-06-01").cast("date")))
-      .select(col("o_orderkey"), col("status"), col("price"))
-      .orderBy(col("o_orderkey"))
+      base.unionByName(feed(7, 30)).unionByName(feed(14, 60)),
+      "o_orderkey", "eff_ts", Seq("status", "price"))
   }
 
-  private val q148Sql = {
+  /** The shared SQL prefix building the same version chain (v).
+    * A def, not a val: q148Sql initializes before this point in the
+    * object, and a forward val reference would read null at init. */
+  private def versionsCte = {
     val priced = StableRound.sql("o_totalprice * 1.1", 2)
-    s"""WITH base AS (SELECT o_orderkey, o_orderdate AS eff_ts,
-                             o_orderstatus AS status, o_totalprice AS price
-                      FROM orders),
-            u1 AS (SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY,
-                          'X', $priced FROM orders WHERE o_orderkey % 7 = 0),
-            u2 AS (SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY,
-                          'X', $priced FROM orders WHERE o_orderkey % 14 = 0),
-            r AS (SELECT * FROM base UNION ALL SELECT * FROM u1
-                  UNION ALL SELECT * FROM u2),
-            g AS (SELECT r.*, row_number() OVER w AS rn,
-                         lag(status) OVER w AS ps, lag(price) OVER w AS pp
-                  FROM r WINDOW w AS (PARTITION BY o_orderkey ORDER BY eff_ts)),
-            chg AS (SELECT * FROM g
-                    WHERE rn = 1 OR ps IS DISTINCT FROM status
-                                 OR pp IS DISTINCT FROM price),
-            v AS (SELECT o_orderkey, status, price, eff_ts AS valid_from,
-                         lead(eff_ts) OVER (PARTITION BY o_orderkey
-                                            ORDER BY eff_ts) AS valid_to
-                  FROM chg)
-       SELECT o_orderkey, status, price FROM v
-       WHERE valid_from <= DATE '1995-06-01'
-         AND (valid_to IS NULL OR valid_to > DATE '1995-06-01')
-       ORDER BY o_orderkey"""
+    s"""base AS (SELECT o_orderkey, o_orderdate AS eff_ts,
+                        o_orderstatus AS status, o_totalprice AS price
+                 FROM orders),
+       u1 AS (SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY,
+                     'X', $priced FROM orders WHERE o_orderkey % 7 = 0),
+       u2 AS (SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY,
+                     'X', $priced FROM orders WHERE o_orderkey % 14 = 0),
+       r AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+             UNION ALL SELECT * FROM u2),
+       g AS (SELECT r.*, row_number() OVER w AS rn,
+                    lag(status) OVER w AS ps, lag(price) OVER w AS pp
+             FROM r WINDOW w AS (PARTITION BY o_orderkey ORDER BY eff_ts)),
+       chg AS (SELECT * FROM g
+               WHERE rn = 1 OR ps IS DISTINCT FROM status
+                            OR pp IS DISTINCT FROM price),
+       v AS (SELECT o_orderkey, status, price, eff_ts AS valid_from,
+                    lead(eff_ts) OVER (PARTITION BY o_orderkey
+                                       ORDER BY eff_ts) AS valid_to
+             FROM chg)"""
+  }
+
+  /** q149 — POINT-IN-TIME dimension join: every lineitem picks up the
+    * order-dimension version valid at its SHIP date — the feature-store
+    * correctness primitive that prevents training-serving skew (joining
+    * today's dimension onto yesterday's facts leaks the future). The
+    * SCD2 chain is gap-free, so the backward as-of join
+    * ([[graft.operators.AsofJoin]] — one shuffle, no per-key blow-up)
+    * is exactly the validity-interval join the oracle states
+    * literally. */
+  private val q149: Q = (s, dir) => {
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+    graft.operators.AsofJoin.backward(
+        facts, orderVersions(s, dir),
+        keys = Seq("o_orderkey"), leftTs = "l_shipdate", rightTs = "valid_from",
+        rightPayload = Seq("status", "price"))
+      .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"),
+        col("status"), col("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("status"))
+  }
+
+  private val q149Sql =
+    s"""WITH $versionsCte
+       SELECT f.l_orderkey, f.l_linenumber, v.status, v.price
+       FROM lineitem f LEFT JOIN v
+         ON v.o_orderkey = f.l_orderkey
+        AND v.valid_from <= f.l_shipdate
+        AND (v.valid_to IS NULL OR v.valid_to > f.l_shipdate)
+       ORDER BY f.l_orderkey, f.l_linenumber, v.status"""
+
+  /** q150 — funnel drop-off rates (the aggregate q87's per-user stage
+    * trace feeds): users reaching view → later click → later purchase,
+    * with stage-over-stage conversion as single divisions of exact
+    * counts. Strictly-increasing timestamps between stages (the q87
+    * ordering discipline). */
+  private val q150: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    def stage(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val t1 = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = stage("click").join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = stage("purchase").join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n0 = e.select(col("user_id")).distinct().count()
+    val n1 = t1.count(); val n2 = t2.count(); val n3 = t3.count()
+    def rate(a: Long, b: Long) =
+      if (b == 0) lit(null).cast("double")
+      else StableRound.tieStableRound(lit(a.toDouble / b), 6)
+    val spark = s
+    import spark.implicits._
+    Seq((n0, n1, n2, n3)).toDF("n_users", "n_view", "n_view_click", "n_full_funnel")
+      .withColumn("rate_view", rate(n1, n0))
+      .withColumn("rate_click", rate(n2, n1))
+      .withColumn("rate_purchase", rate(n3, n2))
+  }
+
+  private val q150Sql = {
+    def r(e: String) = StableRound.sql(e, 6)
+    s"""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+       t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+       t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+       c AS (SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+                    CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+                    CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_view_click,
+                    CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_full_funnel)
+       SELECT n_users, n_view, n_view_click, n_full_funnel,
+              ${r("CAST(n_view AS DOUBLE) / CAST(nullif(n_users, 0) AS DOUBLE)")} AS rate_view,
+              ${r("CAST(n_view_click AS DOUBLE) / CAST(nullif(n_view, 0) AS DOUBLE)")} AS rate_click,
+              ${r("CAST(n_full_funnel AS DOUBLE) / CAST(nullif(n_view_click, 0) AS DOUBLE)")} AS rate_purchase
+       FROM c"""
   }
 
   val defs: Map[String, Q] = Map(
@@ -363,7 +453,9 @@ object FeatureQueries {
     "q145_session_window" -> q145,
     "q146_wow_change"  -> q146,
     "q147_ivm_merge"   -> q147,
-    "q148_time_travel" -> q148)
+    "q148_time_travel" -> q148,
+    "q149_pit_join"    -> q149,
+    "q150_funnel_rates" -> q150)
 
   val oracles: Map[String, String] = Map(
     "q137_cdc_apply"   -> q137Sql,
@@ -373,5 +465,7 @@ object FeatureQueries {
     "q145_session_window" -> q145Sql,
     "q146_wow_change"  -> q146Sql,
     "q147_ivm_merge"   -> q147Sql,
-    "q148_time_travel" -> q148Sql)
+    "q148_time_travel" -> q148Sql,
+    "q149_pit_join"    -> q149Sql,
+    "q150_funnel_rates" -> q150Sql)
 }
