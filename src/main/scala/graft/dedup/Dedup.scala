@@ -85,9 +85,19 @@ object Dedup {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cands = banded(batch, "id_a").join(banded(index, "id_b"), Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
-    // the verifier needs both sides' shingle sets in one table
-    val universe = batch.select(col(idCol), col(textCol))
-      .unionByName(index.select(col(idCol), col(textCol)))
+    // the verifier needs both sides' shingle sets in one table. The API
+    // never requires batch/index id disjointness, and a shared id would
+    // otherwise join each candidate pair against BOTH rows and emit
+    // duplicated/incorrect jaccard rows — so one row per id is enforced
+    // here, the BATCH row winning (the re-ingest reading: the batch text
+    // is the current version of the document). The aggregate shuffles
+    // only (id, text), and at scale the id spaces are disjoint by
+    // construction so the min-struct collapses nothing.
+    val universe = batch.select(col(idCol), col(textCol)).withColumn("_pri", lit(0))
+      .unionByName(index.select(col(idCol), col(textCol)).withColumn("_pri", lit(1)))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_pri"), col(textCol).as("_t"))).as("_m"))
+      .select(col(idCol), col("_m._t").as(textCol))
     verifyJaccardPairs(universe, idCol, textCol, cands, shingleN)
       .filter(col("jaccard") >= tau)
       .groupBy(col("id_a").as(idCol))

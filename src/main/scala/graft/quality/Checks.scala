@@ -69,8 +69,12 @@ object Checks {
           case ((name, _, minRatio), i) =>
             struct(lit(name).as("check_name"),
               StableRound.tieStableRound(col(s"m$i"), 6).as("metric"),
-              (StableRound.tieStableRound(col(s"m$i"), 6) >= lit(minRatio))
-                .as("passed"))
+              // `passed` gates on the EXACT ratio: rounding first would let
+              // a 0.9999995 completeness (≈5 bad rows per 10M) round to 1.0
+              // and slip past a strict minRatio=1.0 gate — the violation the
+              // check exists to catch. Only the REPORTED metric is rounded
+              // (for cross-engine bit-stability of the artifact).
+              (col(s"m$i") >= lit(minRatio)).as("passed"))
         }: _*)).as("r")).select(col("r.*"))
       }
     val containmentRows = checks.collect { case c: Containment =>
@@ -80,7 +84,7 @@ object Checks {
         .agg((count(col("_pk")).cast("double") / n).as("m"))
         .select(lit(c.name).as("check_name"),
           StableRound.tieStableRound(col("m"), 6).as("metric"),
-          (StableRound.tieStableRound(col("m"), 6) >= lit(c.minRatio)).as("passed"))
+          (col("m") >= lit(c.minRatio)).as("passed")) // exact-ratio gate, see above
     }
     (scalarRows.toSeq ++ containmentRows)
       .reduce(_.unionByName(_))

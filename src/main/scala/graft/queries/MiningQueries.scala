@@ -191,7 +191,8 @@ object MiningQueries {
           AND abs(a.x - b.x) <= 60 AND abs(a.y - b.y) <= 60
           AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600),
        core AS MATERIALIZED (
-         SELECT ia AS id FROM nb GROUP BY ia HAVING count(*) + 1 >= 5),
+         SELECT p.vec_id AS id FROM pts p LEFT JOIN nb n ON n.ia = p.vec_id
+         GROUP BY p.vec_id HAVING count(n.ib) + 1 >= 5),
        ce AS MATERIALIZED (
          SELECT ia, ib FROM nb
          WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
@@ -354,14 +355,14 @@ object MiningQueries {
        c AS (SELECT CAST(count(o.k) AS DOUBLE) / count(*) AS containment
              FROM lineitem l LEFT JOIN
                (SELECT DISTINCT o_orderkey AS k FROM orders) o ON l.l_orderkey = o.k),
-       rows_(check_name, metric, min_ratio) AS (
-         SELECT 'completeness_l_quantity', ${r("completeness_qty")}, 1.0 FROM m
-         UNION ALL SELECT 'unique_order_line', ${r("uniq_line")}, 1.0 FROM m
-         UNION ALL SELECT 'range_l_discount', ${r("range_disc")}, 1.0 FROM m
-         UNION ALL SELECT 'range_l_quantity', ${r("range_qty")}, 1.0 FROM m
-         UNION ALL SELECT 'pattern_returnflag', ${r("pat_flag")}, 1.0 FROM m
-         UNION ALL SELECT 'ref_orders', ${r("containment")}, 1.0 FROM c)
-       SELECT check_name, metric, metric >= min_ratio AS passed
+       rows_(check_name, metric, exact_m, min_ratio) AS (
+         SELECT 'completeness_l_quantity', ${r("completeness_qty")}, completeness_qty, 1.0 FROM m
+         UNION ALL SELECT 'unique_order_line', ${r("uniq_line")}, uniq_line, 1.0 FROM m
+         UNION ALL SELECT 'range_l_discount', ${r("range_disc")}, range_disc, 1.0 FROM m
+         UNION ALL SELECT 'range_l_quantity', ${r("range_qty")}, range_qty, 1.0 FROM m
+         UNION ALL SELECT 'pattern_returnflag', ${r("pat_flag")}, pat_flag, 1.0 FROM m
+         UNION ALL SELECT 'ref_orders', ${r("containment")}, containment, 1.0 FROM c)
+       SELECT check_name, metric, exact_m >= min_ratio AS passed
        FROM rows_ ORDER BY check_name"""
   }
 
@@ -555,13 +556,20 @@ object MiningQueries {
     def score(cur: String, i: Int, dst: String) =
       s"(CAST(substring($cur, 3) AS BIGINT) * 31 + $i * 17 + " +
         s"CAST(substring($dst, 3) AS BIGINT) * 2654435761) % 1000003"
+    // LEFT join so a walk that dead-ends survives with NULL hops — the
+    // engine's documented semantics ('dead ends stick', WalksSpec). An
+    // INNER join would only match today because every P->S->N->R walk on
+    // this DAG completes all 3 hops; the oracle must encode the contract,
+    // not the coincidence. NULLS LAST so a real neighbor always beats the
+    // (only-when-no-match) null row at rn=1.
     def hop(name: String, from: String, curCol: String, i: Int, keep: String) =
       s"""$name AS (
          SELECT $keep, dst AS hop$i FROM (
            SELECT f.*, e.dst,
                   row_number() OVER (PARTITION BY f.start
-                    ORDER BY ${score(s"f.$curCol", i, "e.dst")}, e.dst) AS rn
-           FROM $from f JOIN ed e ON e.src = f.$curCol) WHERE rn = 1)"""
+                    ORDER BY ${score(s"f.$curCol", i, "e.dst")} NULLS LAST,
+                             e.dst NULLS LAST) AS rn
+           FROM $from f LEFT JOIN ed e ON e.src = f.$curCol) WHERE rn = 1)"""
     s"""WITH ed AS MATERIALIZED (
          SELECT DISTINCT 'P:' || l_partkey AS src, 'S:' || l_suppkey AS dst
          FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10
@@ -595,11 +603,14 @@ object MiningQueries {
       s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) AS x$i").mkString(", ")
     def dist(a: String, b: String) = dims.map(i =>
       s"($a.x$i - $b.x$i) * ($a.x$i - $b.x$i)").mkString(" + ")
+    // each d{r} EXCLUDES the just-chosen center — mirrors the engine's
+    // pool anti-join (KCenter.scala), so duplicate embeddings surface the
+    // remaining co-located points at d2=0 instead of re-picking a center
     val steps = (2 to kcK).map { r =>
       s"""c$r AS (SELECT * FROM d${r - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
          d$r AS (SELECT d.vec_id, ${dims.map(i => s"d.x$i").mkString(", ")},
                         least(d.dmin, ${dist("d", "c")}) AS dmin
-                 FROM d${r - 1} d CROSS JOIN c$r c)"""
+                 FROM d${r - 1} d CROSS JOIN c$r c WHERE d.vec_id <> c.vec_id)"""
     }.mkString(",\n")
     val sel = (2 to kcK).map(r =>
       s"UNION ALL SELECT $r, vec_id, dmin FROM c$r").mkString("\n")
@@ -607,7 +618,7 @@ object MiningQueries {
        c1 AS (SELECT * FROM p ORDER BY vec_id LIMIT 1),
        d1 AS (SELECT p.vec_id, ${dims.map(i => s"p.x$i").mkString(", ")},
                      ${dist("p", "c")} AS dmin
-              FROM p CROSS JOIN c1 c),
+              FROM p CROSS JOIN c1 c WHERE p.vec_id <> c.vec_id),
        $steps,
        sel(sel_rank, vec_id, d2) AS (
          SELECT 1, vec_id, CAST(0 AS BIGINT) FROM c1

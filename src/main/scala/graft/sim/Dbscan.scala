@@ -64,9 +64,14 @@ object Dbscan {
       .select(col("id_a"), col("id_b"))
       .persist()
     nbrs.count()
-    val core = nbrs.groupBy(col("id_a").as("id"))
-      .agg((count(lit(1)) + 1).as("n"))
-      .filter(col("n") >= minPts)
+    // degree over ALL points (left join, 0-neighbor coalesce): the count
+    // includes the point itself, so with minPts=1 an isolated point is a
+    // singleton CORE cluster, not noise — deriving core from `nbrs` alone
+    // would silently exclude neighborless points from ever being core
+    val core = pts.select(col("id"))
+      .join(nbrs.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("nn")),
+        Seq("id"), "left")
+      .filter(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
       .select(col("id"))
       .persist()
     core.count()

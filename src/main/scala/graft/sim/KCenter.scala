@@ -39,25 +39,40 @@ object KCenter {
       d * d
     }.reduce(_ + _)
     val seed = points.orderBy(col("id")).limit(1).collect().head
+    val seedId = seed.getAs[Long]("id")
     val seedX = seed.getAs[scala.collection.Seq[Long]]("x").toArray
-    var chosen = List((1, seed.getAs[Long]("id"), 0L))
+    var chosen = List((1, seedId, 0L))
+    // chosen centers leave the candidate pool: without the filter, once
+    // the covering radius hits 0 (k exceeds the distinct coordinate
+    // vectors — duplicate embeddings), the argmax would re-select the
+    // smallest-id already-chosen point forever instead of the remaining
+    // co-located ones. With it, duplicates are emitted at d2 = 0 until
+    // the pool is exhausted, at which point selection stops early.
     var cur = points.select(col("id").cast("long").as("id"), col("x"))
+      .filter(col("id") =!= seedId)
       .withColumn("dmin", d2To(seedX))
       .persist()
     cur.count()
-    for (rank <- 2 to k) {
+    var rank = 2
+    var exhausted = false
+    while (rank <= k && !exhausted) {
       // argmax(dmin), ties to the SMALLEST id: struct max compares dmin
       // first, then -id (max of -id = min id); x rides along for the
       // next update's literal
       val next = cur.agg(max(struct(col("dmin"), (-col("id")).as("nid"),
         col("x"))).as("m")).select(col("m.*")).collect().head
-      val nid = -next.getAs[Long]("nid")
-      val nx = next.getAs[scala.collection.Seq[Long]]("x").toArray
-      chosen ::= ((rank, nid, next.getAs[Long]("dmin")))
-      val updated = cur.withColumn("dmin", least(col("dmin"), d2To(nx))).persist()
-      updated.count()
-      cur.unpersist()
-      cur = updated
+      if (next.isNullAt(next.fieldIndex("nid"))) exhausted = true // pool empty: k > |points|
+      else {
+        val nid = -next.getAs[Long]("nid")
+        val nx = next.getAs[scala.collection.Seq[Long]]("x").toArray
+        chosen ::= ((rank, nid, next.getAs[Long]("dmin")))
+        val updated = cur.filter(col("id") =!= nid)
+          .withColumn("dmin", least(col("dmin"), d2To(nx))).persist()
+        updated.count()
+        cur.unpersist()
+        cur = updated
+      }
+      rank += 1
     }
     cur.unpersist()
     chosen.reverse.toDF("rank", "id", "d2")

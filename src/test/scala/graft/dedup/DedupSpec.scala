@@ -53,6 +53,24 @@ class DedupSpec extends SparkSpec {
     // index-index near-dups (10, 11) must NOT appear: no corpus self-join
   }
 
+  test("near-dup batch/index id collision: batch text wins, no duplicated pair rows") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    // id 10 exists on BOTH sides with different text (a re-ingest): the
+    // verifier universe must keep exactly one row per id — the batch one —
+    // so candidate pairs join a single doc row, not two
+    val index = Seq(
+      (10L, "stale version of this document totally unlike anything in the batch corpus"),
+      (11L, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " today")).toDF("doc_id", "text")
+    val rows = Dedup.incrementalNearDup(index, batch, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, tau = 0.8).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == 10L)
+    assert(rows.head.getAs[Long]("dup_of") == 11L)   // the batch text matched 11
+    assert(rows.head.getAs[Double]("jaccard") >= 0.8) // not diluted by the stale row
+  }
+
   test("exact dedup groups identical normalized content") {
     val out = Dedup.exact(docs, "text", "doc_id").filter(col("n_copies") > 1).collect()
     assert(out.length == 1)

@@ -37,6 +37,20 @@ class ChecksSpec extends SparkSpec {
     assert(out("grade_shape") == ((1.0, true)))
   }
 
+  test("a near-1 ratio that ROUNDS to 1.0 still fails a strict minRatio=1.0 gate") {
+    // 4,000,000 clean rows + 1 null: exact completeness 0.99999975 rounds
+    // to 1.0 at 6 digits — the reported metric says 1.0 but `passed` must
+    // gate on the exact ratio and flag the violation
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val big = spark2.range(4000000)
+      .select(col("id"), when(col("id") === 0, null).otherwise(col("id")).as("v"))
+    val out = Checks.run(big, Seq(Completeness("v_filled", "v", minRatio = 1.0)))
+      .collect().head
+    assert(out.getDouble(1) == 1.0)      // rounded evidence
+    assert(!out.getBoolean(2))           // exact gate catches the null row
+  }
+
   test("containment measures the orphan ratio against a parent key set") {
     val parent = Seq(1L, 2L).toDF("pid")
     val out = results(Seq(

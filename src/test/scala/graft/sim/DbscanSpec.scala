@@ -47,6 +47,16 @@ class DbscanSpec extends SparkSpec {
     assert(out.values.forall(_ == "core"))
   }
 
+  test("minPts=1: an isolated point is a singleton core cluster, not noise") {
+    // the degree count includes the point itself, so with minPts=1 every
+    // point — even one with zero ε-neighbors — is core
+    val iso = Seq((1L, 0L, 0L), (2L, 500L, 500L)).toDF("id", "x", "y")
+    val out = Dbscan.run(iso, eps = 10L, minPts = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ("core", 1L))
+    assert(out(2L) == ("core", 2L))
+  }
+
   test("chained cores merge into one cluster (arbitrary-shape property)") {
     // a line of points each within eps of the next only — centroid
     // methods split it, DBSCAN must keep one component

@@ -32,6 +32,25 @@ class KCenterSpec extends SparkSpec {
     assert(ds.tail.zip(ds.tail.tail).forall { case (a, b) => a >= b })
   }
 
+  test("duplicate embeddings: chosen centers leave the pool, co-located points follow at d2=0") {
+    // 2 distinct coordinate vectors, k=4: once the covering radius hits 0
+    // the remaining co-located points must be selected (each id once),
+    // never a repeat of an already-chosen id
+    val dup = Seq((1L, Seq(0L)), (2L, Seq(0L)), (3L, Seq(10L)), (4L, Seq(10L)))
+      .toDF("id", "x")
+    val c = KCenter.select(dup, k = 4, dims = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(c.map(_._2) == Seq(1L, 3L, 2L, 4L)) // seed, farthest, then dup fills (min id first)
+    assert(c.map(_._2).distinct.size == 4)
+    assert(c.drop(2).forall(_._3 == 0L))
+  }
+
+  test("k exceeding the point count stops early instead of throwing") {
+    val tiny = Seq((1L, Seq(0L)), (2L, Seq(5L))).toDF("id", "x")
+    val c = KCenter.select(tiny, k = 5, dims = 1).collect()
+    assert(c.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
   test("argmax ties break to the smallest id") {
     // two points equidistant from the seed
     val sym = Seq((1L, Seq(0L)), (5L, Seq(10L)), (9L, Seq(-10L))).toDF("id", "x")
