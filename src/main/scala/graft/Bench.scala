@@ -100,28 +100,36 @@ object Bench {
         // iterations; steal slows some), and the tail dominates the total
         // so this is where the stability matters. min/max still land in
         // the artifact for variance audits.
-        val headline = if (times(iterations / 2) > 3.0) times.head
-                       else times(iterations / 2)
-        (name, headline, times.head, times.last, None: Option[String])
+        val (headline, stat) =
+          if (times(iterations / 2) > 3.0) (times.head, "min")
+          else (times(iterations / 2), "median")
+        (name, headline, times.head, times.last, stat, None: Option[String])
       } catch {
         case e: Throwable =>
-          (name, -1.0, -1.0, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          (name, -1.0, -1.0, -1.0, "error",
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(200) + "\""
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + mn }
+    val mins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val maxs = results.map { case (k, _, _, mx, _) => "\"" + k + "\":" + mx }
+    val maxs = results.map { case (k, _, _, mx, _, _) => "\"" + k + "\":" + mx }
+      .mkString("{", ",", "}")
+    // per-query statistic marker ("median" | "min"): the headline switches
+    // to min-of-N for the heavy tail (median > 3 s), and without this map a
+    // consumer comparing artifacts across rounds cannot tell which statistic
+    // a figure is, or notice a query flipping statistic at the threshold
+    val stats = results.map { case (k, _, _, _, st, _) => "\"" + k + "\":\"" + st + "\"" }
       .mkString("{", ",", "}")
     // a throwing query must fail loud: its message lands in `errors` and the
     // headline total is poisoned to -1 so a regression can't shrink the number
-    val errors = results.collect { case (k, _, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
+    val errors = results.collect { case (k, _, _, _, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total =
-      if (results.exists(_._5.isDefined)) -1.0 else results.map(_._2).sum
+      if (results.exists(_._6.isDefined)) -1.0 else results.map(_._2).sum
     // composed robokop-style build (parsers → merge → derive → CSV sinks)
     // timed once as a pipeline — reported separately, not in the query total
     val fixturesDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "src/test/resources/parsers")
@@ -155,7 +163,7 @@ object Bench {
         probeSpread > 2.0
       val gc = graphCurve.map(_._1).mkString(",")
       val gOps = s"""{"pagerank":[${graphCurve.map(_._2).mkString(",")}],"hits":[${graphCurve.map(_._3).mkString(",")}],"components":[${graphCurve.map(_._4).mkString(",")}]}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_ops":$gOps,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_ops":$gOps,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
@@ -266,8 +274,8 @@ object Bench {
     def r3(d: Double): String = f"$d%.3f"
     // 30 × ~30 chars ≈ 900 for the query map; whole line ≈ 1.5 KB, leaving
     // headroom under the driver's ~2000-char tail even as the surface grows
-    val slow = results.filter(_._5.isEmpty).sortBy(-_._2).take(30)
-      .map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
+    val slow = results.filter(_._6.isEmpty).sortBy(-_._2).take(30)
+      .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head)},"dedup_curve_sec":[${dedupCurve.map(r3).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""

@@ -83,7 +83,14 @@ object Dedup {
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // A shared id (re-ingest: the doc is both in the batch and, stale, in
+    // the index) must not produce the self-pair (X, X): the verifier below
+    // sees ONE text per id (batch wins), so (X, X) would verify the batch
+    // text against itself — jaccard 1.0 unconditionally — masking genuine
+    // smaller-id corpus matches and firing even when batch-vs-corpus
+    // similarity is below tau.
     val cands = banded(batch, "id_a").join(banded(index, "id_b"), Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // the verifier needs both sides' shingle sets in one table. The API
     // never requires batch/index id disjointness, and a shared id would

@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("jaccard") >= 0.8) // not diluted by the stale row
   }
 
+  test("near-dup id collision with band-colliding sub-tau texts emits no self-pair") {
+    import spark.implicits._
+    // id 10 on both sides: the stale index text shares enough shingles
+    // with the batch text to band-collide at 32×2 (j ≈ 0.6 → collision
+    // prob ≈ 1), but the true similarity is below tau = 0.8. Without the
+    // self-pair filter the candidate (10,10) verifies the batch text
+    // against itself (jaccard 1.0) and reports dup_of = 10 — a false
+    // positive. With it, the output is empty.
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    val index = Seq(
+      (10L, base + " under a grey sky near the river bend at dawn")).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val rows = Dedup.incrementalNearDup(index, batch, "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 2, tau = 0.8).collect()
+    assert(rows.isEmpty)
+  }
+
   test("exact dedup groups identical normalized content") {
     val out = Dedup.exact(docs, "text", "doc_id").filter(col("n_copies") > 1).collect()
     assert(out.length == 1)
