@@ -11,12 +11,12 @@ object SparkEntry {
     RelationalQueries.defs ++ GraphQueries.defs ++ TextQueries.defs ++
       ParserQueries.defs ++ SamplingQueries.defs ++ CorpusQueries.defs ++
       AnalyticsQueries.defs ++ RetrievalQueries.defs ++ CleaningQueries.defs ++
-      MiningQueries.defs ++ FeatureQueries.defs
+      MiningQueries.defs ++ FeatureQueries.defs ++ SinkQueries.defs
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
       ParserQueries.oracles ++ SamplingQueries.oracles ++ CorpusQueries.oracles ++
       AnalyticsQueries.oracles ++ RetrievalQueries.oracles ++ CleaningQueries.oracles ++
-      MiningQueries.oracles ++ FeatureQueries.oracles
+      MiningQueries.oracles ++ FeatureQueries.oracles ++ SinkQueries.oracles
 }

@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{GraphCsvSink, KgxIO}
+import graft.parsers.DrugCentral
+import graft.sources.SqlSource
+
+/** Sink-plane and pipeline-composition oracles: each query WRITES a real
+  * artifact through a production sink (Neo4j/Memgraph CSV, KGX jsonl.gz
+  * bundle, JDBC-staged parquet, the curate CLI's partitioned layout) and
+  * the DuckDB oracle reads that artifact back with an INDEPENDENT parser
+  * (`read_csv` / `read_json_auto` / `read_parquet`) — so the bytes on
+  * disk, not just the in-memory DataFrame, sit behind the hash-exact
+  * gate. The Spark side returns the expected content re-derived from the
+  * ORIGINAL inputs by the documented sink semantics (ref
+  * orion/kgx_file_converter.py:151-376, orion/kgx_bundle.py:75-102), so
+  * an asymmetric writer bug (malformed TSV, wrong delimiter, dropped
+  * partition) lands as a DuckDB-vs-Spark mismatch.
+  *
+  * Artifacts land under `target/sink-oracle` (inside the repo's build
+  * dir, absolute-resolved at class-load like the parser fixtures) so the
+  * statically-embedded oracle SQL can find them after Verify has run.
+  */
+object SinkQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val kgxRes = sys.env.getOrElse("SPARK_GRAFT_KGX_FIXTURES",
+    new java.io.File("src/test/resources/kgx").getAbsolutePath)
+
+  private val sinkOut = sys.env.getOrElse("SPARK_GRAFT_SINK_OUT",
+    new java.io.File("target/sink-oracle").getAbsolutePath)
+
+  private val US = "\u001f" // the reference's array delimiter (ref :316)
+
+  /** Fixed-projection node/edge frames off the KGX fixture — explicit
+    * select so the CSV column ORDER (and so the oracle's `names=[...]`)
+    * is pinned, not schema-inference-order dependent. */
+  private def kgxNodes(s: SparkSession): DataFrame =
+    KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_nodes.jsonl"))
+      .select("id", "name", "category", "in_taxon", "information_content", "synonym")
+
+  private def kgxEdges(s: SparkSession): DataFrame =
+    KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_edges.jsonl.gz"))
+      .select("subject", "predicate", "object", "p_value", "publications",
+        "primary_knowledge_source")
+
+  // ---------------------------------------------------------------- q151
+  /** K3 — Neo4j nodes CSV round-trip: write through the production sink,
+    * oracle = DuckDB `read_csv` over the part files (independent TSV
+    * parser); Spark side = the expected cells re-derived from the source
+    * jsonl per the documented semantics (U+001F arrays, null name → id,
+    * numeric→string, null→empty→NULL). */
+  private val q151: Q = (s, _) => {
+    val nodes = kgxNodes(s)
+    GraphCsvSink.writeNeo4jNodes(nodes, s"$sinkOut/q151/nodes")
+    nodes.select(
+      col("id"),
+      regexp_replace(coalesce(col("name"), col("id")), "[\\n\\r\\t]+", " ").as("name"),
+      array_join(col("category"), US).as("category"),
+      col("in_taxon"),
+      col("information_content").cast("string").as("information_content"),
+      array_join(col("synonym"), US).as("synonym"))
+      .orderBy("id")
+  }
+
+  private val q151Sql =
+    s"""SELECT id, name, category, in_taxon, information_content, synonym
+       FROM read_csv('$sinkOut/q151/nodes/part-*.csv', delim='\t', header=false,
+                     all_varchar=true,
+                     names=['id','name','category','in_taxon','information_content','synonym'])
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------- q152
+  /** K3 — the TYPED HEADER sidecars (`id:ID`, `category:LABEL`,
+    * `synonym:string[]`, `subject:START_ID`, ... — ref :316-322): Spark
+    * reads back the `_header.csv` files the sink wrote; the oracle is the
+    * hand-pinned expectation for the fixed fixture schema. */
+  private val q152: Q = (s, _) => {
+    GraphCsvSink.writeNeo4jNodes(kgxNodes(s), s"$sinkOut/q152/nodes")
+    GraphCsvSink.writeNeo4jEdges(kgxEdges(s), s"$sinkOut/q152/edges")
+    // the sidecar starts with '_' so Hadoop input formats treat it as
+    // hidden metadata — read it with plain file IO (it is one line)
+    def headerRows(side: String): Seq[(String, Long, String)] =
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$sinkOut/q152/$side/_header.csv"))
+        .stripLineEnd.split("\t", -1).toSeq.zipWithIndex
+        .map { case (f, i) => (side, (i + 1).toLong, f) }
+    import s.implicits._
+    (headerRows("nodes") ++ headerRows("edges"))
+      .toDF("side", "pos", "field")
+      .orderBy("side", "pos")
+  }
+
+  private val q152Sql =
+    """SELECT side, CAST(pos AS BIGINT) AS pos, field FROM (VALUES
+         ('nodes', 1, 'id:ID'), ('nodes', 2, 'name:string'),
+         ('nodes', 3, 'category:LABEL'), ('nodes', 4, 'in_taxon:string'),
+         ('nodes', 5, 'information_content:float'), ('nodes', 6, 'synonym:string[]'),
+         ('edges', 1, 'subject:START_ID'), ('edges', 2, 'predicate:TYPE'),
+         ('edges', 3, 'object:END_ID'), ('edges', 4, 'p_value:float'),
+         ('edges', 5, 'publications:string[]'),
+         ('edges', 6, 'primary_knowledge_source:string')) t(side, pos, field)
+       ORDER BY side, pos"""
+
+  // ---------------------------------------------------------------- q153
+  /** K4 — Memgraph per-predicate edge split (ref :26-148 per-predicate
+    * file handles → `partitionBy`): DuckDB reads the hive-partitioned
+    * layout back with `hive_partitioning` — so the SPLIT itself (which
+    * directory each edge landed in), not just the cells, is under the
+    * hash. */
+  private val q153: Q = (s, _) => {
+    val edges = kgxEdges(s)
+    GraphCsvSink.writeMemgraphEdges(edges, s"$sinkOut/q153/edges")
+    edges.select(
+      col("subject"), col("predicate"), col("object"),
+      col("p_value").cast("string").as("p_value"),
+      array_join(col("publications"), US).as("publications"),
+      col("primary_knowledge_source"),
+      regexp_replace(col("predicate"), ":", "_").as("predicate_dir"))
+      .orderBy("subject", "predicate", "object")
+  }
+
+  private val q153Sql =
+    s"""SELECT subject, predicate, object, p_value, publications,
+              primary_knowledge_source, _predicate_dir AS predicate_dir
+       FROM read_csv('$sinkOut/q153/edges/*/part-*.csv', delim='\t', header=false,
+                     all_varchar=true, hive_partitioning=true,
+                     names=['subject','predicate','object','p_value','publications','primary_knowledge_source'])
+       ORDER BY subject, predicate, object"""
+
+  // ---------------------------------------------------------------- q154
+  /** K2 — single-file KGX jsonl.gz bundle (ref orion/kgx_bundle.py:75-102):
+    * written by the production `writeSingleFile` (coalesce(1) + rename),
+    * read back by DuckDB's `read_json_auto` with gz transparency — the
+    * json encoding, null-field omission, and gzip framing all round-trip. */
+  private val q154: Q = (s, _) => {
+    val edges = kgxEdges(s)
+    new java.io.File(s"$sinkOut/q154").mkdirs()
+    KgxIO.writeSingleFile(edges, s"$sinkOut/q154/edges.jsonl.gz", gzip = true)
+    edges.select(
+      col("subject"), col("predicate"), col("object"),
+      coalesce(col("p_value"), lit(-1.0)).as("p_value"),
+      when(col("publications").isNull, lit(0L))
+        .otherwise(size(col("publications")).cast("long")).as("n_pubs"),
+      col("primary_knowledge_source"))
+      .orderBy("subject", "predicate", "object")
+  }
+
+  private val q154Sql =
+    s"""SELECT subject, predicate, object,
+              CAST(coalesce(p_value, -1.0) AS DOUBLE) AS p_value,
+              CAST(CASE WHEN publications IS NULL THEN 0
+                   ELSE len(publications) END AS BIGINT) AS n_pubs,
+              primary_knowledge_source
+       FROM read_json_auto('$sinkOut/q154/edges.jsonl.gz')
+       ORDER BY subject, predicate, object"""
+
+  // ---------------------------------------------------------------- q155
+  /** S4 — the real `spark.read.jdbc` path under the hash gate, by
+    * staging: an embedded-Derby DrugCentral fixture is read through
+    * `SqlSource.readQuery` (raw tables staged to parquet for the oracle)
+    * and parsed by the production [[DrugCentral]] loader (ref
+    * parsers/drugcentral/src/loaddrugcentral.py:70-213); DuckDB
+    * RE-DERIVES the edges from the staged raw tables with the predicate /
+    * knowledge-source CASE maps generated from the same Scala constants
+    * (the q59 pattern), so the parse semantics — omop relationship map,
+    * excluded-sty filter, FAERS llr/drug_ae gates, snakified DGIDB
+    * predicate routing, literature-URL→PMID — are independently checked,
+    * not just round-tripped. */
+  private def seedDrugCentral(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q155-derby-").toString
+    val url = s"jdbc:derby:$dir/dcdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE omop_relationship (
+        struct_id INT, relationship_name VARCHAR(64), umls_cui VARCHAR(16), cui_semantic_type VARCHAR(8))""")
+      Seq(
+        "(5, 'indication', 'C0011849', 'T047')",
+        "(5, 'contraindication', 'C0020538', NULL)",
+        "(6, 'indication', 'C0002871', 'T121')", // excluded semantic type
+        "(6, 'indication', NULL, NULL)", // null cui — dropped in the pushed SQL
+        "(7, 'off-label use', 'C0004096', 'T047')",
+        "(7, 'reduce risk', 'C0027051', 'T047')",
+        "(8, 'diagnosis', 'C0011860', 'T047')",
+        "(8, 'symptomatic treatment', 'C0018681', 'T184')"
+      ).foreach(v => st.execute(s"INSERT INTO omop_relationship VALUES $v"))
+      st.execute("""CREATE TABLE faers (
+        struct_id INT, meddra_code VARCHAR(16), llr DOUBLE, llr_threshold DOUBLE, drug_ae INT)""")
+      Seq(
+        "(5, '10020772', 120.5, 100.0, 30)",
+        "(5, '10021428', 90.0, 100.0, 30)", // llr below threshold — gated
+        "(6, '10021428', 150.0, 100.0, 10)", // drug_ae <= 25 — gated
+        "(7, '10012373', 200.25, 150.0, 26)"
+      ).foreach(v => st.execute(s"INSERT INTO faers VALUES $v"))
+      st.execute("""CREATE TABLE act_table_full (
+        struct_id INT, act_value DOUBLE, act_unit VARCHAR(16), act_type VARCHAR(16),
+        act_source VARCHAR(32), act_source_url VARCHAR(128), action_type VARCHAR(32), target_id INT)""")
+      Seq(
+        "(5, 7.2, NULL, 'IC50', 'CHEMBL', NULL, 'INHIBITOR', 1)",
+        "(6, 8.1, NULL, 'Kd', 'SCIENTIFIC LITERATURE', 'http://www.ncbi.nlm.nih.gov/pubmed/12345', NULL, 1)",
+        "(7, 6.5, NULL, 'EC50', 'IUPHAR', NULL, 'PARTIAL AGONIST', 2)", // snakify branch
+        "(8, NULL, NULL, NULL, NULL, NULL, NULL, 2)" // both null → interacts_with
+      ).foreach(v => st.execute(s"INSERT INTO act_table_full VALUES $v"))
+      st.execute("CREATE TABLE td2tc (target_id INT, component_id INT)")
+      st.execute("INSERT INTO td2tc VALUES (1, 11)")
+      st.execute("INSERT INTO td2tc VALUES (2, 12)")
+      st.execute("CREATE TABLE target_component (id INT, accession VARCHAR(16))")
+      st.execute("INSERT INTO target_component VALUES (11, 'P00374')")
+      st.execute("INSERT INTO target_component VALUES (12, 'Q9H2X3')")
+      st.close()
+    } finally conn.close()
+    url
+  }
+
+  private val q155: Q = (s, _) => {
+    val url = seedDrugCentral()
+    // stage the raw tables — each through a REAL spark.read.jdbc scan —
+    // so the oracle can see what the database held
+    Seq("omop_relationship", "faers", "act_table_full", "td2tc", "target_component")
+      .foreach { t =>
+        val raw = SqlSource.readQuery(s, url, s"SELECT * FROM $t")
+        raw.columns.foldLeft(raw)((d, c) => d.withColumnRenamed(c, c.toLowerCase))
+          .write.mode("overwrite").parquet(s"$sinkOut/q155/$t")
+      }
+    DrugCentral.parse(s, url).edges.select(
+      col("subject"), col("predicate"), col("object"),
+      col("primary_knowledge_source"),
+      coalesce(col("FAERS_llr"), lit(-1.0)).as("faers_llr"),
+      coalesce(col("affinity"), lit(-1.0)).as("affinity"),
+      coalesce(col("affinity_parameter"), lit("")).as("affinity_parameter"),
+      when(col("publications").isNull, lit(0L))
+        .otherwise(size(col("publications")).cast("long")).as("n_pubs"),
+      when(col("aggregator_knowledge_source").isNull, lit(0L))
+        .otherwise(size(col("aggregator_knowledge_source")).cast("long")).as("n_aggs"))
+      .orderBy("subject", "predicate", "object")
+  }
+
+  private val q155Sql = {
+    val omopCases = DrugCentral.omopRelationMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    val excluded = DrugCentral.excludedStys.map(s => s"'$s'").mkString(", ")
+    val dgidbCases = DrugCentral.dgidbPredicateMapping.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    val pksCases = DrugCentral.actTypeToKnowledgeSource.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+    val p = s"$sinkOut/q155"
+    s"""WITH omop AS (SELECT * FROM read_parquet('$p/omop_relationship/*.parquet')),
+       faers AS (SELECT * FROM read_parquet('$p/faers/*.parquet')),
+       act AS (SELECT * FROM read_parquet('$p/act_table_full/*.parquet')),
+       td AS (SELECT * FROM read_parquet('$p/td2tc/*.parquet')),
+       tc AS (SELECT * FROM read_parquet('$p/target_component/*.parquet')),
+       omop_edges AS (
+         SELECT 'DrugCentral:' || CAST(struct_id AS VARCHAR) AS subject,
+                CASE relationship_name $omopCases END AS predicate,
+                'UMLS:' || umls_cui AS object,
+                'infores:drugcentral' AS primary_knowledge_source,
+                -1.0 AS faers_llr, -1.0 AS affinity, '' AS affinity_parameter,
+                CAST(0 AS BIGINT) AS n_pubs, CAST(0 AS BIGINT) AS n_aggs
+         FROM omop
+         WHERE umls_cui IS NOT NULL
+           AND (cui_semantic_type IS NULL OR cui_semantic_type NOT IN ($excluded))),
+       faers_edges AS (
+         SELECT 'DrugCentral:' || CAST(struct_id AS VARCHAR) AS subject,
+                'biolink:has_adverse_event' AS predicate,
+                'MEDDRA:' || meddra_code AS object,
+                'infores:faers' AS primary_knowledge_source,
+                llr AS faers_llr, -1.0 AS affinity, '' AS affinity_parameter,
+                CAST(0 AS BIGINT) AS n_pubs, CAST(1 AS BIGINT) AS n_aggs
+         FROM faers WHERE llr > llr_threshold AND drug_ae > 25),
+       bio AS (
+         SELECT a.*, tc.accession,
+                regexp_replace(regexp_replace(lower(coalesce(
+                  nullif(a.action_type, ''), nullif(a.act_type, ''), 'interacts_with')),
+                  '[,-]', '_', 'g'), '\\s+', '_', 'g') AS snake,
+                CASE a.act_source $pksCases END AS src_pks
+         FROM act a JOIN td ON a.target_id = td.target_id
+                    JOIN tc ON td.component_id = tc.id),
+       bio_edges AS (
+         SELECT 'DrugCentral:' || CAST(struct_id AS VARCHAR) AS subject,
+                CASE snake $dgidbCases END AS predicate,
+                'UniProtKB:' || accession AS object,
+                coalesce(src_pks, 'infores:drugcentral') AS primary_knowledge_source,
+                -1.0 AS faers_llr,
+                coalesce(CASE WHEN act_type IS NOT NULL THEN act_value END, -1.0) AS affinity,
+                CASE WHEN act_type IS NOT NULL THEN 'p' || act_type ELSE '' END AS affinity_parameter,
+                CAST(CASE WHEN act_source = 'SCIENTIFIC LITERATURE'
+                          AND act_source_url LIKE 'http://www.ncbi.nlm.nih.gov/pubmed%'
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_pubs,
+                CAST(CASE WHEN src_pks IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_aggs
+         FROM bio)
+       SELECT * FROM (SELECT * FROM omop_edges UNION ALL
+                      SELECT * FROM faers_edges UNION ALL
+                      SELECT * FROM bio_edges)
+       ORDER BY subject, predicate, object"""
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** O6 — the curate CLI's COMPOSED artifact: `Cli curate` runs the full
+    * front door (quality + hashed classifier + language-ID + token count
+    * + PII redact + hash split + shuffle-shard) and writes the
+    * (split, shard)-partitioned training layout; the Spark side reads
+    * that written artifact back, and DuckDB recomputes every column from
+    * `documents` — so the composition (including the partitioned write
+    * and the content-addressed shard/seq assignment) is end-to-end under
+    * one hash. */
+  private val q156: Q = (s, dir) => {
+    val out = s"$sinkOut/q156/curated"
+    graft.Cli.run(s, Array("curate", s"$dir/documents.parquet", out))
+    s.read.parquet(out)
+      .select(col("doc_id"), col("split"), col("shard").cast("int").as("shard"),
+        col("seq"), col("quality"),
+        coalesce(col("clf_score"), lit(-99.0)).as("clf_score"),
+        col("detected_lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q156Sql = {
+    val stop = graft.text.TextOps.englishStopwords.mkString("|")
+    def hits(words: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    val en = hits(graft.text.TextOps.englishStopwords)
+    val es = hits(graft.text.TextOps.spanishStopwords)
+    val de = hits(graft.text.TextOps.germanStopwords)
+    val fr = hits(graft.text.TextOps.frenchStopwords)
+    val qualityRounded = graft.functions.StableRound.sql(
+      """0.4 * least(ntok / 50.0, 1.0)
+           + 0.3 * (1.0 - least(npunct / greatest(length(text), 1), 1.0))
+           + 0.3 * least(nstop / greatest(ntok, 1.0), 1.0)""", 4)
+    val clfRounded = graft.functions.StableRound.sql(
+      "CAST(raw_weight AS DOUBLE) / (n_features * 2147483648.0)", 6)
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       tok AS (SELECT doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+               FROM d),
+       q AS (SELECT doc_id, $qualityRounded AS quality FROM (
+               SELECT doc_id, text,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS ntok,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+                 CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS DOUBLE) AS nstop
+               FROM d)),
+       lang AS (SELECT doc_id,
+                  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                       WHEN en = greatest(en, es, de, fr) THEN 'en'
+                       WHEN es = greatest(en, es, de, fr) THEN 'es'
+                       WHEN de = greatest(en, es, de, fr) THEN 'de'
+                       ELSE 'fr' END AS detected_lang
+                FROM (SELECT doc_id, $en AS en, $es AS es, $de AS de, $fr AS fr, text FROM d)),
+       cw AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> length(x) > 0) AS w
+              FROM d WHERE length(trim(text)) > 0),
+       ct AS (SELECT doc_id, w[i] AS tokn,
+                     CASE WHEN i < len(w) THEN w[i+1] END AS nxt
+              FROM cw, unnest(range(1, len(w)+1)) AS u(i)),
+       cf AS (SELECT doc_id, tokn AS feat FROM ct
+              UNION ALL
+              SELECT doc_id, tokn || '_' || nxt FROM ct WHERE nxt IS NOT NULL),
+       cs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                     CAST(sum(CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                              - 2147483648) AS BIGINT) AS raw_weight
+              FROM cf GROUP BY 1),
+       clf AS (SELECT doc_id, $clfRounded AS clf_score FROM cs),
+       ss AS (SELECT doc_id,
+                CASE WHEN strpos('0123456789abc', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+                     THEN 'train' ELSE 'val' END AS split,
+                CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM d)
+       SELECT d.doc_id, ss.split, ss.shard,
+              CAST(row_number() OVER (PARTITION BY ss.shard ORDER BY ss.h, d.doc_id) AS BIGINT) AS seq,
+              q.quality, coalesce(clf.clf_score, -99.0) AS clf_score,
+              lang.detected_lang, tok.n_tokens
+       FROM d JOIN ss USING (doc_id) JOIN q USING (doc_id)
+              JOIN lang USING (doc_id) JOIN tok USING (doc_id)
+              LEFT JOIN clf USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q151_neo4j_nodes_csv"    -> q151,
+    "q152_neo4j_typed_headers" -> q152,
+    "q153_memgraph_edge_split" -> q153,
+    "q154_kgx_bundle_gz"      -> q154,
+    "q155_jdbc_staged_extract" -> q155,
+    "q156_curate_pipeline"    -> q156)
+
+  val oracles: Map[String, String] = Map(
+    "q151_neo4j_nodes_csv"    -> q151Sql,
+    "q152_neo4j_typed_headers" -> q152Sql,
+    "q153_memgraph_edge_split" -> q153Sql,
+    "q154_kgx_bundle_gz"      -> q154Sql,
+    "q155_jdbc_staged_extract" -> q155Sql,
+    "q156_curate_pipeline"    -> q156Sql)
+}
