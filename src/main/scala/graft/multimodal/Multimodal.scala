@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. The Spark-side contract — schema, partitioning,
   * batch iteration shape — is real and tested. The METADATA path is real:
-  * `imageHeader`/`withImageMeta` parse PNG (IHDR) and JPEG (SOFn) headers
-  * with pure-JVM byte slicing, no codec dependency. The pixel-decode step
-  * (`decodeStub`) remains a clearly-marked deterministic STUB because no
-  * image/audio libraries exist in this container — swap it for a real
-  * decoder (e.g. javacv) without touching the pipeline shape.
+  * `imageHeader`/`withImageMeta` parse PNG (IHDR) and JPEG (SOFn) headers,
+  * `audioHeader` parses RIFF/WAVE — all pure-JVM byte slicing, no codec
+  * dependency. The PIXEL path is real for the uncompressed formats
+  * (`decodePixels`: 24-bit BMP, binary PPM — asserted against checked-in
+  * fixtures); compressed codecs (JPEG/PNG pixel data) fall back to the
+  * clearly-marked deterministic `decodeStub` because no image/audio
+  * libraries exist in this container — swap in a real decoder (e.g.
+  * javacv) without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -26,15 +29,15 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true),
       StructField("codec", StringType, nullable = true))), nullable = true)))
 
-  /** STUB decode: a real implementation would parse the codec container.
-    * Here: deterministic pseudo-features from the payload bytes so the
-    * pipeline (partition-wise batch iteration, fixed-length feature output)
+  /** STUB decode for payloads in formats this container has no codec
+    * for (JPEG/PNG pixel data, audio, video): deterministic
+    * pseudo-features from the payload bytes so the pipeline
+    * (partition-wise batch iteration, fixed-length feature output)
     * is fully exercisable. Feature f(i) = (Σ bytes at positions ≡ i mod
     * dim) / 255 / len · dim — integer byte accumulation with a SINGLE
     * float rounding per feature, which keeps the fake exactly
     * SQL-expressible so q39's derived stats can be oracled in DuckDB. */
   def decodeStub(payload: Array[Byte], featureDim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below
     val out = new Array[Float](featureDim)
     if (payload != null && payload.nonEmpty) {
       val sums = new Array[Long](featureDim)
@@ -48,6 +51,109 @@ object Multimodal {
     }
     out
   }
+
+  /** REAL pixel decode for the two uncompressed formats a pure-JVM engine
+    * reads without any codec library:
+    *  - 24-bit uncompressed BMP (BITMAPINFOHEADER or larger, BI_RGB):
+    *    'BM' magic, little-endian pixel-array offset at 10, width/height
+    *    at 18/22 (negative height = top-down), 4-byte-aligned BGR rows,
+    *    bottom-up row order flipped to top-down on decode;
+    *  - binary PPM (P6, maxval ≤ 255): ASCII header with '#' comments,
+    *    then raw top-down RGB.
+    * Returns (width, height, rgb) with rgb row-major TOP-DOWN, 3 bytes
+    * per pixel, BMP's BGR already swapped to RGB. Compressed formats,
+    * other bit depths, and truncated payloads → None (callers fall back
+    * to header-only metadata + [[decodeStub]] features). */
+  def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null) return None
+    def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    // --- BMP ---
+    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M') {
+      val pixOff = le32(10)
+      val dibSize = le32(14)
+      val width = le32(18)
+      val rawHeight = le32(22)
+      val bpp = le16(28)
+      val compression = le32(30)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      if (dibSize < 40 || width <= 0 || height == 0 || bpp != 24 || compression != 0)
+        return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      if (pixOff < 0 || pixOff.toLong + stride.toLong * height > payload.length) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = pixOff + (if (topDown) y else height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * 3
+          val d = (y * width + x) * 3
+          rgb(d) = payload(s + 2)     // R (BMP stores BGR)
+          rgb(d + 1) = payload(s + 1) // G
+          rgb(d + 2) = payload(s)     // B
+          x += 1
+        }
+        y += 1
+      }
+      return Some((width, height, rgb))
+    }
+    // --- PPM P6 ---
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {
+      var i = 2
+      // read 3 whitespace-separated decimal fields, skipping '#' comments
+      val fields = new Array[Int](3)
+      var f = 0
+      while (f < 3) {
+        while (i < payload.length &&
+               (payload(i) == ' ' || payload(i) == '\t' || payload(i) == '\n' || payload(i) == '\r' ||
+                payload(i) == '#')) {
+          if (payload(i) == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+          else i += 1
+        }
+        var v = -1
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (payload(i) - '0'); i += 1
+        }
+        if (v < 0) return None
+        fields(f) = v; f += 1
+      }
+      val Array(width, height, maxval) = fields
+      if (width <= 0 || height <= 0 || maxval <= 0 || maxval > 255) return None
+      i += 1 // the single whitespace byte after maxval
+      val n = width * height * 3
+      if (i.toLong + n > payload.length) return None
+      return Some((width, height, java.util.Arrays.copyOfRange(payload, i, i + n)))
+    }
+    None
+  }
+
+  /** Per-channel pixel means of a decodable payload — the assertion
+    * surface for real decodes (and a usable brightness/color-cast
+    * signal). */
+  def pixelMeans(payload: Array[Byte]): Option[(Double, Double, Double)] =
+    decodePixels(payload).map { case (_, _, rgb) =>
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      val n = rgb.length / 3
+      while (i < n) {
+        r += rgb(i * 3) & 0xff; g += rgb(i * 3 + 1) & 0xff; b += rgb(i * 3 + 2) & 0xff
+        i += 1
+      }
+      (r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
+  /** Feature extraction entry: REAL pixels when the payload is a format
+    * [[decodePixels]] reads (features computed over the decoded RGB
+    * plane, so identical images in different containers — BMP vs PPM —
+    * produce identical features), [[decodeStub]] bytes otherwise. */
+  def decodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] =
+    decodePixels(payload) match {
+      case Some((_, _, rgb)) => decodeStub(rgb, featureDim)
+      case None => decodeStub(payload, featureDim)
+    }
 
   /** Real image-header decode: (width, height, codec) from the payload
     * bytes. PNG: 8-byte signature, then the IHDR chunk's big-endian
@@ -160,7 +266,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             if (payload == null) 0 else payload.length,
-            decodeStub(payload, featureDim).toSeq)
+            decodeFeatures(payload, featureDim).toSeq)
         }
       }
     }

@@ -144,4 +144,69 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 2)
     assert(frames.select(max(length(col("frame_payload")))).head().getInt(0) <= 4)
   }
+
+  private val mmRes = new java.io.File("src/test/resources/multimodal").getAbsolutePath
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$mmRes/$name"))
+
+  // fixture pattern: pixel(x,y) = (10x+y, 100+5x, 200-7y) over a 4x3 image
+  private def expectedPx(x: Int, y: Int): Seq[Int] = Seq(10 * x + y, 100 + 5 * x, 200 - 7 * y)
+
+  test("decodePixels: bottom-up 24-bit BMP yields exact top-down RGB") {
+    val Some((w, h, rgb)) = Multimodal.decodePixels(fixture("sample_4x3.bmp"))
+    assert((w, h) == ((4, 3)))
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val d = (y * 4 + x) * 3
+      assert(Seq(rgb(d) & 0xff, rgb(d + 1) & 0xff, rgb(d + 2) & 0xff) == expectedPx(x, y),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodePixels: top-down BMP (negative height) decodes identically") {
+    val Some((w1, h1, a)) = Multimodal.decodePixels(fixture("sample_4x3_topdown.bmp"))
+    val Some((w2, h2, b)) = Multimodal.decodePixels(fixture("sample_4x3.bmp"))
+    assert((w1, h1) == ((w2, h2)) && a.toSeq == b.toSeq)
+  }
+
+  test("decodePixels: P6 PPM with comment decodes to the same pixels as the BMP") {
+    val Some((w1, h1, a)) = Multimodal.decodePixels(fixture("sample_4x3.ppm"))
+    val Some((w2, h2, b)) = Multimodal.decodePixels(fixture("sample_4x3.bmp"))
+    assert((w1, h1) == ((w2, h2)) && a.toSeq == b.toSeq)
+  }
+
+  test("decodePixels: BMP row padding bytes are ignored (3x3, stride 12)") {
+    val Some((w, h, rgb)) = Multimodal.decodePixels(fixture("sample_3x3_padded.bmp"))
+    assert((w, h) == ((3, 3)))
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val d = (y * 3 + x) * 3
+      assert(Seq(rgb(d) & 0xff, rgb(d + 1) & 0xff, rgb(d + 2) & 0xff) == expectedPx(x, y))
+    }
+  }
+
+  test("pixelMeans: exact channel means on the checked-in fixture") {
+    assert(Multimodal.pixelMeans(fixture("sample_4x3.bmp")) == Some((16.0, 107.5, 193.0)))
+    assert(Multimodal.pixelMeans(fixture("sample_4x3.ppm")) == Some((16.0, 107.5, 193.0)))
+    assert(Multimodal.pixelMeans("not an image".getBytes("UTF-8")) == None)
+  }
+
+  test("decodePixels: truncated and foreign payloads reject cleanly") {
+    val bmp = fixture("sample_4x3.bmp")
+    assert(Multimodal.decodePixels(bmp.take(53)) == None)  // truncated header
+    assert(Multimodal.decodePixels(bmp.take(60)) == None)  // truncated pixels
+    assert(Multimodal.decodePixels("P6 oops".getBytes) == None)
+    assert(Multimodal.decodePixels("P6 4 3 99999 ".getBytes) == None) // maxval > 255
+    assert(Multimodal.decodePixels(null) == None)
+  }
+
+  test("decodeFeatures: same image in BMP and PPM containers -> identical features") {
+    val fb = Multimodal.decodeFeatures(fixture("sample_4x3.bmp"), 8)
+    val fp = Multimodal.decodeFeatures(fixture("sample_4x3.ppm"), 8)
+    assert(fb.toSeq == fp.toSeq) // container-invariant: features come from PIXELS
+    // while the raw BYTES of the two files differ, so the stub would diverge
+    assert(Multimodal.decodeStub(fixture("sample_4x3.bmp"), 8).toSeq !=
+      Multimodal.decodeStub(fixture("sample_4x3.ppm"), 8).toSeq)
+    // non-image payloads keep the stub path
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(txt, 8).toSeq == Multimodal.decodeStub(txt, 8).toSeq)
+  }
 }
