@@ -23,8 +23,23 @@ import org.apache.spark.sql.functions._
   * aggregate. k steps = k narrow passes over a persisted table; the
   * classic trade of the sequential greedy (k passes) for full
   * parallelism within each pass.
+  *
+  * Plan growth: `persist` caches DATA but the analyzed plan still
+  * stacks one filter + `least(dmin, d2To(c))` per step, so Catalyst
+  * re-analyzes an O(rank·dims)-node tree every step — fine for
+  * coreset-sized k (tens), measurably quadratic in driver time by a few
+  * hundred steps. Every [[lineageCutEvery]] steps the frame is
+  * `localCheckpoint`ed instead, which resets the plan to a LogicalRDD
+  * leaf (constant per-step analysis cost thereafter) at the price of
+  * recompute-on-failure for that cached slice — the same
+  * bounded-driver-loop discipline as the graph plane's iteration cuts.
   */
 object KCenter {
+
+  /** Steps between lineage cuts — large enough that checkpoint overhead
+    * is amortized, small enough that the analyzed plan never exceeds
+    * ~64 stacked filter/least layers. */
+  val lineageCutEvery = 64
 
   /** Select k centers from `points` (id: long, x: array<long> of length
     * dims). Returns (rank, id, d2): the selection order (1-based), the
@@ -66,9 +81,12 @@ object KCenter {
         val nid = -next.getAs[Long]("nid")
         val nx = next.getAs[scala.collection.Seq[Long]]("x").toArray
         chosen ::= ((rank, nid, next.getAs[Long]("dmin")))
-        val updated = cur.filter(col("id") =!= nid)
-          .withColumn("dmin", least(col("dmin"), d2To(nx))).persist()
-        updated.count()
+        val grown = cur.filter(col("id") =!= nid)
+          .withColumn("dmin", least(col("dmin"), d2To(nx)))
+        // periodic lineage cut: see the plan-growth note in the scaladoc
+        val updated =
+          if (rank % lineageCutEvery == 0) grown.localCheckpoint(true)
+          else { val u = grown.persist(); u.count(); u }
         cur.unpersist()
         cur = updated
       }

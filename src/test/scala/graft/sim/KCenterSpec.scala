@@ -58,4 +58,33 @@ class KCenterSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(c(2) == 5L)
   }
+
+  test("large k across lineage cuts matches the sequential reference exactly") {
+    // k = 150 > 2 × lineageCutEvery: the selection sequence must be
+    // identical on both sides of every localCheckpoint plan reset
+    assert(KCenter.lineageCutEvery <= 64)
+    val n = 160
+    // deterministic scatter: x = (i*37 % 211, i*53 % 199) — no two points
+    // coincide, ids 0..159
+    val data = (0L until n.toLong).map(i => (i, Seq(i * 37 % 211, i * 53 % 199)))
+    val got = KCenter.select(data.toDF("id", "x"), k = 150, dims = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+
+    // sequential greedy reference: same seed, argmax(dmin) ties to min id
+    val xs = data.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    var remaining = data.map(_._1).toSet - 0L
+    var dmin = remaining.map(i => i -> d2(xs(i), xs(0L))).toMap
+    var expected = List((1, 0L, 0L))
+    var rank = 2
+    while (rank <= 150 && remaining.nonEmpty) {
+      val best = remaining.maxBy(i => (dmin(i), -i))
+      expected ::= ((rank, best, dmin(best)))
+      remaining -= best
+      dmin = remaining.map(i => i -> math.min(dmin(i), d2(xs(i), xs(best)))).toMap
+      rank += 1
+    }
+    assert(got == expected.reverse)
+  }
 }
