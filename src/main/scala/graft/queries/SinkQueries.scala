@@ -380,13 +380,76 @@ object SinkQueries {
        ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q157
+  /** K5 — the bundle's JSON sidecars (graph-metadata.json, qc-results.json
+    * — ref orion/graph_pipeline.py:445-532, orion/kgx_validation.py:25-213):
+    * `finalizeBundle` writes the full bundle, DuckDB reads the sidecar
+    * FILES back with `read_json_auto` (struct-field access on the
+    * statically-known fixture keys), and the Spark side re-derives the
+    * expected (metric, k, value) rows from the input frames + spec — so
+    * the driver-side JSON serialization itself sits behind the hash. */
+  private val q157: Q = (s, _) => {
+    val nodes = KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_nodes.jsonl"))
+    val edges = KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_edges.jsonl.gz"))
+    val spec = graft.pipeline.GraphSpec(
+      graphId = "sink-oracle-graph", graphName = "Sink Oracle Graph",
+      sources = Seq(graft.pipeline.GraphSource("kgx_fixture",
+        sourceVersion = Some("v1"), parsingVersion = Some("1.0"),
+        normalizationVersion = Some("1.0"))))
+    graft.pipeline.GraphBundle.finalizeBundle(spec, nodes, edges, s"$sinkOut/q157/bundle")
+    val qc = graft.derive.MetaKg.qc(nodes, edges)
+    val buildVersion = graft.pipeline.Versioning.graphBuildVersion(
+      Seq(graft.pipeline.Versioning.sourceBuildVersion("kgx_fixture", "v1", "1.0", "1.0")))
+    val rows: Seq[(String, String, Long)] =
+      Seq(("meta_graph_id", spec.graphId, 0L),
+        ("meta_build_version", buildVersion, 0L),
+        ("meta_node_count", "", qc.nodeCount),
+        ("meta_edge_count", "", qc.edgeCount),
+        ("qc_node_count", "", qc.nodeCount),
+        ("qc_edge_count", "", qc.edgeCount),
+        ("qc_edges_missing_nodes", "", qc.edgesMissingNodes),
+        ("qc_warnings_n", "", qc.warnings.size.toLong)) ++
+      qc.nodeTypeCounts.toSeq.sorted.map { case (k, v) => ("node_type_count", k, v) } ++
+      qc.predicateCounts.toSeq.sorted.map { case (k, v) => ("predicate_count", k, v) } ++
+      qc.primaryKsCounts.toSeq.sorted.map { case (k, v) => ("pks_count", k, v) }
+    import s.implicits._
+    rows.toDF("metric", "k", "value").orderBy("metric", "k")
+  }
+
+  private val q157Sql = {
+    val p = s"$sinkOut/q157/bundle"
+    s"""WITH m AS (SELECT * FROM read_json_auto('$p/graph-metadata.json')),
+       qc AS (SELECT * FROM read_json_auto('$p/qc-results.json'))
+       SELECT metric, k, CAST(value AS BIGINT) AS value FROM (
+         SELECT 'meta_graph_id' AS metric, graph_id AS k, 0 AS value FROM m
+         UNION ALL SELECT 'meta_build_version', build_version, 0 FROM m
+         UNION ALL SELECT 'meta_node_count', '', node_count FROM m
+         UNION ALL SELECT 'meta_edge_count', '', edge_count FROM m
+         UNION ALL SELECT 'qc_node_count', '', node_count FROM qc
+         UNION ALL SELECT 'qc_edge_count', '', edge_count FROM qc
+         UNION ALL SELECT 'qc_edges_missing_nodes', '', edges_missing_nodes FROM qc
+         UNION ALL SELECT 'qc_warnings_n', '', len(warnings) FROM qc
+         UNION ALL SELECT 'node_type_count', 'biolink:Gene',
+                          qc.node_type_counts."biolink:Gene" FROM qc
+         UNION ALL SELECT 'node_type_count', 'biolink:NamedThing',
+                          qc.node_type_counts."biolink:NamedThing" FROM qc
+         UNION ALL SELECT 'predicate_count', 'biolink:affects',
+                          qc.predicate_counts."biolink:affects" FROM qc
+         UNION ALL SELECT 'predicate_count', 'biolink:related_to',
+                          qc.predicate_counts."biolink:related_to" FROM qc
+         UNION ALL SELECT 'pks_count', 'infores:example',
+                          qc.primary_knowledge_source_counts."infores:example" FROM qc)
+       ORDER BY metric, k"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
     "q153_memgraph_edge_split" -> q153,
     "q154_kgx_bundle_gz"      -> q154,
     "q155_jdbc_staged_extract" -> q155,
-    "q156_curate_pipeline"    -> q156)
+    "q156_curate_pipeline"    -> q156,
+    "q157_bundle_sidecars"    -> q157)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -394,5 +457,6 @@ object SinkQueries {
     "q153_memgraph_edge_split" -> q153Sql,
     "q154_kgx_bundle_gz"      -> q154Sql,
     "q155_jdbc_staged_extract" -> q155Sql,
-    "q156_curate_pipeline"    -> q156Sql)
+    "q156_curate_pipeline"    -> q156Sql,
+    "q157_bundle_sidecars"    -> q157Sql)
 }
