@@ -442,6 +442,53 @@ object SinkQueries {
        ORDER BY metric, k"""
   }
 
+  // ---------------------------------------------------------------- q158
+  /** D7 — the plater-style `neo4j_generated_meta_kg.json` (ref
+    * orion/neo4j_meta_kg.py:17-195): `generate` writes the file, DuckDB
+    * unnests its edges array and the per-type id_prefixes structs back
+    * out, and the Spark side re-derives the expectation through the
+    * production schema/augmentation path — so the inverse-predicate
+    * augmentation AND its JSON serialization sit behind the hash. The
+    * fixture's own categories leave all but four nodes NamedThing-only
+    * (which the D7 filter drops), so nodes are re-typed by id parity:
+    * even → Gene, odd → Disease, giving a 2-triple direct schema plus
+    * derived inverses. */
+  private val q158: Q = (s, _) => {
+    val nodes = KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_nodes.jsonl"))
+      .select(col("id"), col("name"),
+        when(substring(col("id"), -1, 1).cast("int") % 2 === 0,
+          array(lit("biolink:NamedThing"), lit("biolink:Gene")))
+          .otherwise(array(lit("biolink:NamedThing"), lit("biolink:Disease")))
+          .as("category"))
+    val edges = kgxEdges(s)
+    graft.derive.Neo4jMetaKg.generate(nodes, edges, s"$sinkOut/q158/metakg")
+    val schema = graft.derive.Neo4jMetaKg.augmentedSchema(
+      graft.derive.Neo4jMetaKg.schemaTriples(nodes, edges).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq)
+    val prefixRows = graft.derive.Neo4jMetaKg.nodeTypeInfo(nodes).collect()
+      .flatMap(r => r.getSeq[String](r.fieldIndex("id_prefixes"))
+        .map(p => ("node_prefix", r.getAs[String]("node_type"), p, "")))
+    import s.implicits._
+    (schema.map(e => ("edge", e.subject, e.predicate, e.obj)) ++ prefixRows)
+      .toDF("kind", "a", "b", "c")
+      .orderBy("kind", "a", "b", "c")
+  }
+
+  private val q158Sql = {
+    val p = s"$sinkOut/q158/metakg/neo4j_generated_meta_kg.json"
+    s"""WITH m AS (SELECT * FROM read_json_auto('$p')),
+       e AS (SELECT unnest(edges) AS ed FROM m)
+       SELECT kind, a, b, c FROM (
+         SELECT 'edge' AS kind, ed.subject AS a, ed.predicate AS b, ed.object AS c FROM e
+         UNION ALL
+         SELECT 'node_prefix', 'biolink:Disease', p, ''
+         FROM (SELECT unnest((SELECT (nodes)."biolink:Disease".id_prefixes FROM m)) AS p)
+         UNION ALL
+         SELECT 'node_prefix', 'biolink:Gene', p, ''
+         FROM (SELECT unnest((SELECT (nodes)."biolink:Gene".id_prefixes FROM m)) AS p))
+       ORDER BY kind, a, b, c"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
@@ -449,7 +496,8 @@ object SinkQueries {
     "q154_kgx_bundle_gz"      -> q154,
     "q155_jdbc_staged_extract" -> q155,
     "q156_curate_pipeline"    -> q156,
-    "q157_bundle_sidecars"    -> q157)
+    "q157_bundle_sidecars"    -> q157,
+    "q158_neo4j_meta_kg"      -> q158)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -458,5 +506,6 @@ object SinkQueries {
     "q154_kgx_bundle_gz"      -> q154Sql,
     "q155_jdbc_staged_extract" -> q155Sql,
     "q156_curate_pipeline"    -> q156Sql,
-    "q157_bundle_sidecars"    -> q157Sql)
+    "q157_bundle_sidecars"    -> q157Sql,
+    "q158_neo4j_meta_kg"      -> q158Sql)
 }
