@@ -489,6 +489,71 @@ object SinkQueries {
        ORDER BY kind, a, b, c"""
   }
 
+  // ---------------------------------------------------------------- q159
+  /** O1/O3 — the ingest state machine's memo sidecar and content-hash
+    * versioning (ref orion/ingest_pipeline.py:54-181, orion/metadata.py:
+    * 8-14,228-239): one fixture source runs parse → normalize (one
+    * planted node-norm failure) → supplementation through
+    * `IngestPipeline.runSource` TWICE — the first run writes
+    * `<source>.meta.json` under the content-hash version directory
+    * (DuckDB reads it back and unnests the stage records), the second
+    * must hit the `_BUILD_COMPLETE` cache and record a single `cached`
+    * stage. The version-dir path in the oracle SQL is the SAME
+    * deterministic `Versioning.sourceBuildVersion` hash, computed
+    * independently at class load. */
+  private def q159Loader: graft.pipeline.IngestPipeline.SourceLoader =
+    new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "kgx_fixture"
+      def parse(s: SparkSession): (DataFrame, DataFrame) =
+        (KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_nodes.jsonl")),
+          KgxIO.readJsonl(s, Seq(s"$kgxRes/sample_edges.jsonl.gz")))
+      // EX:011 is deliberately unmapped -> exactly one strict-mode failure
+      override def nodeNormMap(s: SparkSession) =
+        Some(graft.normalize.Normalizer.nodeMapDf(s, (0 to 10).map(i =>
+          graft.normalize.Normalizer.NodeNormEntry(
+            f"EX:$i%03d", f"NORM:$i%03d", s"normed $i"))))
+      override def predicateNormMap(s: SparkSession) =
+        Some(graft.normalize.Normalizer.predicateMapDf(s, Seq(
+          graft.normalize.Normalizer.PredicateNormEntry("biolink:affects", "biolink:affects"),
+          graft.normalize.Normalizer.PredicateNormEntry("biolink:related_to", "biolink:related_to"))))
+    }
+
+  private val q159Version =
+    graft.pipeline.Versioning.sourceBuildVersion("kgx_fixture", "fixture", "1.0", "1.0")
+
+  private val q159: Q = (s, _) => {
+    val storage = s"$sinkOut/q159/storage"
+    // fresh state machine every invocation (bench re-runs the query): a
+    // leftover _BUILD_COMPLETE would flip run 1 to the cached path
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(storage))
+    val r1 = graft.pipeline.IngestPipeline.runSource(s, q159Loader, storage)
+    val r2 = graft.pipeline.IngestPipeline.runSource(s, q159Loader, storage)
+    import s.implicits._
+    ((("meta", "source_id", r1.sourceId) +:
+      ("meta", "build_version", r1.buildVersion) +:
+      r1.stages.map(st => ("run1", st.stage, st.status + "|" + st.detail))) ++
+      r2.stages.map(st => ("run2", st.stage, st.status + "|" + st.detail)))
+      .toDF("run", "stage", "detail")
+      .orderBy("run", "stage", "detail")
+  }
+
+  private val q159Sql = {
+    val dir = s"$sinkOut/q159/storage/kgx_fixture/$q159Version"
+    s"""WITH m AS (SELECT * FROM read_json_auto('$dir/kgx_fixture.meta.json')),
+       st AS (SELECT unnest(stages) AS s FROM m)
+       SELECT run, stage, detail FROM (
+         SELECT 'meta' AS run, 'source_id' AS stage, source_id AS detail FROM m
+         UNION ALL SELECT 'meta', 'build_version', build_version FROM m
+         UNION ALL SELECT 'run1', s.stage, s.status || '|' || s.detail FROM st
+         UNION ALL SELECT 'run2', 'cached', 'stable|reused $dir')
+       ORDER BY run, stage, detail"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
@@ -497,7 +562,8 @@ object SinkQueries {
     "q155_jdbc_staged_extract" -> q155,
     "q156_curate_pipeline"    -> q156,
     "q157_bundle_sidecars"    -> q157,
-    "q158_neo4j_meta_kg"      -> q158)
+    "q158_neo4j_meta_kg"      -> q158,
+    "q159_ingest_state_machine" -> q159)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -507,5 +573,6 @@ object SinkQueries {
     "q155_jdbc_staged_extract" -> q155Sql,
     "q156_curate_pipeline"    -> q156Sql,
     "q157_bundle_sidecars"    -> q157Sql,
-    "q158_neo4j_meta_kg"      -> q158Sql)
+    "q158_neo4j_meta_kg"      -> q158Sql,
+    "q159_ingest_state_machine" -> q159Sql)
 }
