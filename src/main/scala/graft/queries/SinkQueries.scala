@@ -526,8 +526,10 @@ object SinkQueries {
     // fresh state machine every invocation (bench re-runs the query): a
     // leftover _BUILD_COMPLETE would flip run 1 to the cached path
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
+      if (java.nio.file.Files.isDirectory(p)) {
+        val children = java.nio.file.Files.list(p)
+        try children.forEach(rm(_)) finally children.close()
+      }
       java.nio.file.Files.deleteIfExists(p)
     }
     rm(java.nio.file.Paths.get(storage))
