@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * batch iteration shape — is real and tested. The METADATA path is real:
   * `imageHeader`/`withImageMeta` parse PNG (IHDR) and JPEG (SOFn) headers,
   * `audioHeader` parses RIFF/WAVE — all pure-JVM byte slicing, no codec
-  * dependency. The PIXEL path is real for the uncompressed formats
-  * (`decodePixels`: 24-bit BMP, binary PPM — asserted against checked-in
-  * fixtures); compressed codecs (JPEG/PNG pixel data) fall back to the
-  * clearly-marked deterministic `decodeStub` because no image/audio
-  * libraries exist in this container — swap in a real decoder (e.g.
-  * javacv) without touching the pipeline shape.
+  * dependency. The PIXEL path is real too (`decodePixels`): hand-rolled
+  * 24-bit BMP and binary PPM decoders plus the JDK's bundled
+  * `javax.imageio` PNG/JPEG readers — all standard-library, asserted
+  * against checked-in fixtures and cross-container equality. Payloads in
+  * formats none of those cover (audio/video codecs, exotic images) fall
+  * back to the clearly-marked deterministic `decodeStub` — swap in a
+  * heavier decoder (e.g. javacv) without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -29,8 +30,8 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true),
       StructField("codec", StringType, nullable = true))), nullable = true)))
 
-  /** STUB decode for payloads in formats this container has no codec
-    * for (JPEG/PNG pixel data, audio, video): deterministic
+  /** STUB decode for payloads in formats [[decodePixels]] does not cover
+    * (audio/video codecs, exotic images): deterministic
     * pseudo-features from the payload bytes so the pipeline
     * (partition-wise batch iteration, fixed-length feature output)
     * is fully exercisable. Feature f(i) = (Σ bytes at positions ≡ i mod
@@ -52,16 +53,20 @@ object Multimodal {
     out
   }
 
-  /** REAL pixel decode for the two uncompressed formats a pure-JVM engine
-    * reads without any codec library:
+  /** REAL pixel decode, pure JVM end to end:
     *  - 24-bit uncompressed BMP (BITMAPINFOHEADER or larger, BI_RGB):
     *    'BM' magic, little-endian pixel-array offset at 10, width/height
     *    at 18/22 (negative height = top-down), 4-byte-aligned BGR rows,
-    *    bottom-up row order flipped to top-down on decode;
+    *    bottom-up row order flipped to top-down on decode — hand-rolled
+    *    byte slicing;
     *  - binary PPM (P6, maxval ≤ 255): ASCII header with '#' comments,
-    *    then raw top-down RGB.
+    *    then raw top-down RGB — hand-rolled;
+    *  - PNG / JPEG: the JDK's bundled `javax.imageio` readers (standard
+    *    library, no external dependency), attempted only when
+    *    [[imageHeader]] recognizes the magic so arbitrary binary/text
+    *    payloads skip the reader probe.
     * Returns (width, height, rgb) with rgb row-major TOP-DOWN, 3 bytes
-    * per pixel, BMP's BGR already swapped to RGB. Compressed formats,
+    * per pixel, BMP's BGR already swapped to RGB. Unrecognized formats,
     * other bit depths, and truncated payloads → None (callers fall back
     * to header-only metadata + [[decodeStub]] features). */
   def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
@@ -99,6 +104,30 @@ object Multimodal {
         y += 1
       }
       return Some((width, height, rgb))
+    }
+    // --- PNG / JPEG via the JDK's bundled ImageIO readers (pure JVM,
+    // part of the standard library — no external codec). Gated on the
+    // header parse so non-image payloads (the common case in a mixed
+    // corpus) never pay the reader-probe cost; a truncated or corrupt
+    // stream lands in the catch and falls through to None. ---
+    if (imageHeader(payload).isDefined) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // packed ARGB, top-down
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            val p = px(i)
+            rgb(i * 3) = ((p >> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (p & 0xff).toByte
+            i += 1
+          }
+          return Some((w, h, rgb))
+        }
+      } catch { case _: Throwable => () }
     }
     // --- PPM P6 ---
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {

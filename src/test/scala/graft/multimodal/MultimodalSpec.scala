@@ -209,4 +209,41 @@ class MultimodalSpec extends SparkSpec {
     val txt = "plain text payload".getBytes("UTF-8")
     assert(Multimodal.decodeFeatures(txt, 8).toSeq == Multimodal.decodeStub(txt, 8).toSeq)
   }
+
+  private def pngBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodePixels: PNG (JDK ImageIO path) decodes to the same pixels as the BMP fixture") {
+    val png = pngBytes(4, 3, (x, y) => (10 * x + y, 100 + 5 * x, 200 - 7 * y))
+    val Some((w1, h1, a)) = Multimodal.decodePixels(png)
+    val Some((w2, h2, b)) = Multimodal.decodePixels(fixture("sample_4x3.bmp"))
+    assert((w1, h1) == ((w2, h2)) && a.toSeq == b.toSeq)
+    assert(Multimodal.pixelMeans(png) == Some((16.0, 107.5, 193.0)))
+  }
+
+  test("decodePixels: JPEG (JDK ImageIO path) recovers dims and approximate means") {
+    // 64x64 solid color: chroma subsampling cannot shift a constant image far
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Some((w, h, _)) = Multimodal.decodePixels(bos.toByteArray)
+    assert((w, h) == ((64, 64)))
+    val Some((r, g, b)) = Multimodal.pixelMeans(bos.toByteArray)
+    assert(math.abs(r - 100) < 4 && math.abs(g - 150) < 4 && math.abs(b - 200) < 4)
+  }
+
+  test("decodePixels: truncated PNG rejects cleanly, text payloads skip the ImageIO probe") {
+    val png = pngBytes(4, 3, (x, y) => (10 * x + y, 100 + 5 * x, 200 - 7 * y))
+    assert(Multimodal.decodePixels(png.take(30)) == None)
+    assert(Multimodal.decodePixels("just some text, not an image at all".getBytes) == None)
+  }
 }
