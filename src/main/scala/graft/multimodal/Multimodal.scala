@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * dependency. The PIXEL path is real too (`decodePixels`): hand-rolled
   * 24-bit BMP and binary PPM decoders plus the JDK's bundled
   * `javax.imageio` PNG/JPEG readers — all standard-library, asserted
-  * against checked-in fixtures and cross-container equality. Payloads in
-  * formats none of those cover (audio/video codecs, exotic images) fall
-  * back to the clearly-marked deterministic `decodeStub` — swap in a
-  * heavier decoder (e.g. javacv) without touching the pipeline shape.
+  * against checked-in fixtures and cross-container equality. The AUDIO
+  * sample path is real for 16-bit PCM WAV (`audioSamples`, exact
+  * round-trip tested). Payloads in formats none of those cover
+  * (compressed audio/video codecs, exotic images) fall back to the
+  * clearly-marked deterministic `decodeStub` — swap in a heavier decoder
+  * (e.g. javacv) without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -242,6 +244,45 @@ object Multimodal {
     fmt.collect { case (rate, ch, bits, byteRate)
         if rate > 0 && byteRate > 0 && dataBytes >= 0 =>
       (rate, ch, bits, dataBytes * 1000L / byteRate)
+    }
+  }
+
+  /** REAL audio sample decode for 16-bit PCM RIFF/WAVE: the same chunk
+    * walk as [[audioHeader]], then the data chunk's little-endian shorts
+    * (interleaved when multi-channel). Returns (sample_rate, channels,
+    * samples). Non-PCM (format code ≠ 1), other bit depths, and
+    * truncated payloads → None — the same fallback contract as
+    * [[decodePixels]]. */
+  def audioSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(o: Int): String = new String(payload.slice(o, o + 4), "US-ASCII")
+    def le32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // formatCode, rate, channels
+    var bits = -1
+    var dataOff = -1
+    var dataBytes = -1L
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataOff < 0)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 24 <= payload.length) {
+        fmt = Some((le16(i + 8), le32(i + 12).toInt, le16(i + 10)))
+        bits = le16(i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataBytes = sz }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    fmt match {
+      case Some((1, rate, ch)) if bits == 16 && rate > 0 && ch > 0 && dataOff >= 0 &&
+          dataOff.toLong + dataBytes <= payload.length =>
+        val n = (dataBytes / 2).toInt
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) { out(j) = le16(dataOff + j * 2).toShort; j += 1 }
+        Some((rate, ch, out))
+      case _ => None
     }
   }
 

@@ -246,4 +246,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePixels(png.take(30)) == None)
     assert(Multimodal.decodePixels("just some text, not an image at all".getBytes) == None)
   }
+
+  test("audioSamples: 16-bit PCM WAV round-trips exact sample values") {
+    import javax.sound.sampled._
+    // 100 samples of a deterministic ramp, written through the JDK encoder
+    val samples = Array.tabulate[Short](100)(i => ((i * 321) - 16000).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(i * 2) = (v & 0xff).toByte; pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, decoded)) = Multimodal.audioSamples(bos.toByteArray)
+    assert(rate == 8000 && ch == 1)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("audioSamples: non-PCM / truncated / foreign payloads reject cleanly") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.audioSamples(wav.take(40)) == None)   // truncated header
+    assert(Multimodal.audioSamples(wav.take(60)) == None)   // truncated data
+    assert(Multimodal.audioSamples("not audio".getBytes) == None)
+    assert(Multimodal.audioSamples(null) == None)
+  }
 }
