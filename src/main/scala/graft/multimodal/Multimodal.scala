@@ -176,14 +176,27 @@ object Multimodal {
       (r.toDouble / n, g.toDouble / n, b.toDouble / n)
     }
 
-  /** Feature extraction entry: REAL pixels when the payload is a format
-    * [[decodePixels]] reads (features computed over the decoded RGB
-    * plane, so identical images in different containers — BMP vs PPM —
-    * produce identical features), [[decodeStub]] bytes otherwise. */
+  /** Feature extraction entry: REAL decoded content when the payload is
+    * a format this engine reads — pixels via [[decodePixels]] (identical
+    * images in different containers — BMP vs PPM vs PNG — produce
+    * identical features) or PCM samples via [[audioSamples]] (features
+    * invariant to WAV header/chunk layout) — with [[decodeStub]] over the
+    * raw bytes as the fallback for everything else. */
   def decodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] =
     decodePixels(payload) match {
       case Some((_, _, rgb)) => decodeStub(rgb, featureDim)
-      case None => decodeStub(payload, featureDim)
+      case None => audioSamples(payload) match {
+        case Some((_, _, samples)) =>
+          val bytes = new Array[Byte](samples.length * 2)
+          var i = 0
+          while (i < samples.length) {
+            bytes(i * 2) = (samples(i) & 0xff).toByte
+            bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          decodeStub(bytes, featureDim)
+        case None => decodeStub(payload, featureDim)
+      }
     }
 
   /** Real image-header decode: (width, height, codec) from the payload

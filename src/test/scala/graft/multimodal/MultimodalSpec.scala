@@ -276,4 +276,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioSamples("not audio".getBytes) == None)
     assert(Multimodal.audioSamples(null) == None)
   }
+
+  test("decodeFeatures: WAV features come from PCM samples, not container bytes") {
+    import javax.sound.sampled._
+    val pcm = Array.tabulate[Byte](200)(i => (i * 7).toByte)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    def wav(extraHeader: Boolean): Array[Byte] = {
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val w = wav(false)
+    val f = Multimodal.decodeFeatures(w, 8)
+    // features equal the stub over the raw PCM bytes (header stripped)...
+    assert(f.toSeq == Multimodal.decodeStub(pcm, 8).toSeq)
+    // ...and differ from the stub over the whole container
+    assert(f.toSeq != Multimodal.decodeStub(w, 8).toSeq)
+  }
 }
