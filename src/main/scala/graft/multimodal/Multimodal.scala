@@ -63,10 +63,10 @@ object Multimodal {
     *    byte slicing;
     *  - binary PPM (P6, maxval ≤ 255): ASCII header with '#' comments,
     *    then raw top-down RGB — hand-rolled;
-    *  - PNG / JPEG: the JDK's bundled `javax.imageio` readers (standard
-    *    library, no external dependency), attempted only when
-    *    [[imageHeader]] recognizes the magic so arbitrary binary/text
-    *    payloads skip the reader probe.
+    *  - PNG / JPEG / GIF: the JDK's bundled `javax.imageio` readers
+    *    (standard library, no external dependency), attempted only when
+    *    [[imageHeader]] or the GIF87a/89a magic recognizes the payload so
+    *    arbitrary binary/text bytes skip the reader probe.
     * Returns (width, height, rgb) with rgb row-major TOP-DOWN, 3 bytes
     * per pixel, BMP's BGR already swapped to RGB. Unrecognized formats,
     * other bit depths, and truncated payloads → None (callers fall back
@@ -112,7 +112,9 @@ object Multimodal {
     // header parse so non-image payloads (the common case in a mixed
     // corpus) never pay the reader-probe cost; a truncated or corrupt
     // stream lands in the catch and falls through to None. ---
-    if (imageHeader(payload).isDefined) {
+    val isGif = payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+    if (imageHeader(payload).isDefined || isGif) {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img != null) {

@@ -294,4 +294,26 @@ class MultimodalSpec extends SparkSpec {
     // ...and differ from the stub over the whole container
     assert(f.toSeq != Multimodal.decodeStub(w, 8).toSeq)
   }
+
+  test("decodePixels: GIF (JDK ImageIO path) matches the JDK reader pixel-for-pixel") {
+    // NOTE: the JDK\'s own GIF WRITER is unfaithful on small images (rows
+    // shift/drop colors — observed on this JDK), so the assertion is
+    // against ImageIO\'s READER on the same bytes: our wrapper must agree
+    // with the reference decode exactly, whatever the encoder produced.
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    val Some((w, h, rgb)) = Multimodal.decodePixels(gif)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert((w, h) == ((ref.getWidth, ref.getHeight)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      val p = ref.getRGB(x, y)
+      assert(Seq(rgb(d) & 0xff, rgb(d + 1) & 0xff, rgb(d + 2) & 0xff) ==
+        Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
+    }
+  }
 }
