@@ -86,11 +86,18 @@ object Multimodal {
       val compression = le32(30)
       val topDown = rawHeight < 0
       val height = math.abs(rawHeight)
-      if (dibSize < 40 || width <= 0 || height == 0 || bpp != 24 || compression != 0)
+      // height <= 0 also rejects rawHeight == Int.MinValue (abs stays negative)
+      if (dibSize < 40 || width <= 0 || height <= 0 || bpp != 24 || compression != 0)
         return None
-      val stride = ((width * 3 + 3) / 4) * 4
-      if (pixOff < 0 || pixOff.toLong + stride.toLong * height > payload.length) return None
-      val rgb = new Array[Byte](width * height * 3)
+      // stride/size arithmetic in Long: width near 2^31/3 overflows Int,
+      // yielding a tiny stride that slips past the bounds check and a
+      // negative/undersized pixel allocation.
+      val strideL = ((width.toLong * 3 + 3) / 4) * 4
+      val pixBytes = width.toLong * height * 3
+      if (pixOff < 0 || pixBytes > Int.MaxValue ||
+          pixOff.toLong + strideL * height > payload.length) return None
+      val stride = strideL.toInt
+      val rgb = new Array[Byte](pixBytes.toInt)
       var y = 0
       while (y < height) {
         val srcRow = pixOff + (if (topDown) y else height - 1 - y) * stride
@@ -146,18 +153,23 @@ object Multimodal {
           if (payload(i) == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
           else i += 1
         }
-        var v = -1
+        var v = -1L
         while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
-          v = (if (v < 0) 0 else v) * 10 + (payload(i) - '0'); i += 1
+          v = (if (v < 0) 0 else v) * 10 + (payload(i) - '0')
+          if (v > 1000000000L) return None // cap: prevents silent Int overflow
+          i += 1
         }
         if (v < 0) return None
-        fields(f) = v; f += 1
+        fields(f) = v.toInt; f += 1
       }
       val Array(width, height, maxval) = fields
       if (width <= 0 || height <= 0 || maxval <= 0 || maxval > 255) return None
       i += 1 // the single whitespace byte after maxval
-      val n = width * height * 3
-      if (i.toLong + n > payload.length) return None
+      // Long arithmetic: width*height*3 can overflow Int to negative (throws
+      // in copyOfRange) or small-positive (returns rgb shorter than w*h*3).
+      val nL = width.toLong * height * 3
+      if (nL <= 0 || nL > Int.MaxValue || i.toLong + nL > payload.length) return None
+      val n = nL.toInt
       return Some((width, height, java.util.Arrays.copyOfRange(payload, i, i + n)))
     }
     None
@@ -254,7 +266,12 @@ object Multimodal {
       if (id == "fmt " && i + 24 <= payload.length)
         fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22), le32(i + 16)))
       else if (id == "data") dataBytes = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // word-aligned step in Long: sz is unsigned 32-bit, so sz.toInt can be
+      // negative (i walks backwards / crashes) or make the step 0 (infinite
+      // loop on a crafted 0xFFFFFFF8 size). Stop when the walk leaves the
+      // payload instead.
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
     }
     fmt.collect { case (rate, ch, bits, byteRate)
         if rate > 0 && byteRate > 0 && dataBytes >= 0 =>
@@ -287,7 +304,9 @@ object Multimodal {
         fmt = Some((le16(i + 8), le32(i + 12).toInt, le16(i + 10)))
         bits = le16(i + 22)
       } else if (id == "data") { dataOff = i + 8; dataBytes = sz }
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      // same Long-stepped, strictly-advancing walk as [[audioHeader]]
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
     }
     fmt match {
       case Some((1, rate, ch)) if bits == 16 && rate > 0 && ch > 0 && dataOff >= 0 &&
@@ -335,9 +354,14 @@ object Multimodal {
     * partition iterator is consumed in fixed-size BATCHES (a real decoder
     * amortizes codec/model setup per batch, exactly like an Arrow batch
     * crossing into pandas), one output row per input row.
-    * Output: (media_id, kind, n_bytes, features[featureDim]). */
+    * Output: (media_id, kind, n_bytes, features[featureDim]).
+    * The `decoder` seam defaults to the real [[decodeFeatures]] routing;
+    * callers whose oracle contract is the raw-byte stub (q39) pin
+    * [[decodeStub]] explicitly, so the oracle stays structural rather
+    * than depending on corpus content never matching a decoder magic. */
   def extractFeatures(media: DataFrame, featureDim: Int = 16,
-                      batchSize: Int = 64): DataFrame = {
+                      batchSize: Int = 64,
+                      decoder: (Array[Byte], Int) => Array[Float] = decodeFeatures): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -351,7 +375,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             if (payload == null) 0 else payload.length,
-            decodeFeatures(payload, featureDim).toSeq)
+            decoder(payload, featureDim).toSeq)
         }
       }
     }

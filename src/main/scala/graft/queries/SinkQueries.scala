@@ -169,6 +169,12 @@ object SinkQueries {
     * excluded-sty filter, FAERS llr/drug_ae gates, snakified DGIDB
     * predicate routing, literature-URL→PMID — are independently checked,
     * not just round-tripped. */
+  /** One embedded-Derby database per JVM: the bench re-runs q155 several
+    * times per round, and a fresh boot + temp dir per invocation would
+    * accumulate live Derby instances in the driver. The fixture is
+    * read-only after seeding, so a memoized URL is exactly equivalent. */
+  private lazy val drugCentralUrl: String = seedDrugCentral()
+
   private def seedDrugCentral(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-q155-derby-").toString
     val url = s"jdbc:derby:$dir/dcdb;create=true"
@@ -216,7 +222,7 @@ object SinkQueries {
   }
 
   private val q155: Q = (s, _) => {
-    val url = seedDrugCentral()
+    val url = drugCentralUrl
     // stage the raw tables — each through a REAL spark.read.jdbc scan —
     // so the oracle can see what the database held
     Seq("omop_relationship", "faers", "act_table_full", "td2tc", "target_component")

@@ -298,7 +298,11 @@ object TextQueries {
     * DuckDB side reads payload bytes through hex(). */
   private val q39: Q = (s, dir) => {
     val media = Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text")
-    Multimodal.extractFeatures(media, featureDim = 8)
+    // decoder pinned to the stub: the oracle replicates decodeStub over the
+    // RAW bytes, so a document that happened to parse as an image/WAV must
+    // not silently route through the real decoders
+    Multimodal.extractFeatures(media, featureDim = 8,
+        decoder = Multimodal.decodeStub)
       .select(col("media_id"), col("kind"), col("n_bytes"),
         graft.functions.StableRound.tieStableRound(
           aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("feature_sum"))

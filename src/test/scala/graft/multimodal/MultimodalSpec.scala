@@ -316,4 +316,69 @@ class MultimodalSpec extends SparkSpec {
         Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff))
     }
   }
+
+  // --- adversarial payload hardening: crafted/corrupt headers must reject
+  // cleanly (None), never hang a task or throw out of the decode path ---
+
+  private def le32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  test("audio chunk walk: unsigned chunk sizes can't loop forever or walk backwards") {
+    // RIFF....WAVE then a chunk declaring size 0xFFFFFFF8 — the old Int
+    // step was 8 + (-8) + 0 = 0, an infinite loop; 0xFFFFFFF7 stepped 0 via
+    // the odd-pad; mid-range values drove i negative and crashed.
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0x80000000L, 0x7FFFFFFFL)) {
+      val b = new Array[Byte](44)
+      "RIFF".getBytes.copyToArray(b, 0); le32(b, 4, 36)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "JUNK".getBytes.copyToArray(b, 12); le32(b, 16, sz)
+      val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val fut = done.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          Multimodal.audioHeader(b).isEmpty && Multimodal.audioSamples(b).isEmpty
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS)) // terminates, rejects
+      done.shutdown()
+    }
+  }
+
+  test("audio chunk walk: a real WAV after a large-size junk chunk still stops cleanly") {
+    // junk chunk declares a size past the payload end: walk must stop at
+    // the boundary (no fmt/data found -> None), not wrap or scan garbage
+    val b = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(b, 0); le32(b, 4, 56)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "JUNK".getBytes.copyToArray(b, 12); le32(b, 16, 1000)
+    assert(Multimodal.audioHeader(b).isEmpty && Multimodal.audioSamples(b).isEmpty)
+  }
+
+  test("BMP decode: width near 2^31/3 can't overflow stride into a tiny allocation") {
+    // 58-byte payload, width 0x55555556: Int stride overflowed to 4, the
+    // bounds check passed, and the pixel allocation went negative/tiny
+    val b = new Array[Byte](58)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 10, 54) // pixel offset
+    le32(b, 14, 40) // dib size
+    le32(b, 18, 0x55555556L) // width
+    le32(b, 22, 2)  // height
+    b(28) = 24      // bpp
+    le32(b, 30, 0)  // BI_RGB
+    assert(Multimodal.decodePixels(b).isEmpty) // rejects, no throw
+    val minH = b.clone(); le32(minH, 22, 0x80000000L) // height = Int.MinValue
+    assert(Multimodal.decodePixels(minH).isEmpty)
+  }
+
+  test("PPM decode: dimension products that overflow Int reject instead of mis-sizing") {
+    // 65536 * 21846 * 3 overflows Int to a SMALL POSITIVE value — the old
+    // check passed and returned rgb shorter than w*h*3 (NaN means later)
+    val smallPos = s"P6 65536 21846 255\n".getBytes ++ new Array[Byte](100)
+    assert(Multimodal.decodePixels(smallPos).isEmpty)
+    val negative = s"P6 100000 100000 255\n".getBytes ++ new Array[Byte](100)
+    assert(Multimodal.decodePixels(negative).isEmpty)
+    val hugeField = s"P6 99999999999 2 255\n".getBytes ++ new Array[Byte](100)
+    assert(Multimodal.decodePixels(hugeField).isEmpty) // parse-time cap
+    assert(Multimodal.pixelMeans(smallPos).isEmpty)    // no divide-by-zero path
+  }
 }
