@@ -145,9 +145,9 @@ object Bench {
     // carry sentinel -3.0 = "not reached"), overwritten by the full JSON
     // at the end.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    def emitJson(dedupCurve: Seq[Double], winnowSec: Double, substringSec: Double,
+    def emitJson(dedupCurve: Seq[(Double, Double)], winnowSec: Double, substringSec: Double,
                  mergeSmoke: (Double, Long, Long, Long),
-                 graphCurve: Seq[(Double, Double, Double, Double)],
+                 graphCurve: Seq[(Double, Double, Double, Double, Double)],
                  loadAfter: Double, partial: Boolean): String = {
       // threshold rides the LARGER of JVM-visible processors and the
       // session's own SPARK_GRAFT_CPUS parallelism: on a container
@@ -163,15 +163,21 @@ object Bench {
         probeSpread > 2.0
       val gc = graphCurve.map(_._1).mkString(",")
       val gOps = s"""{"pagerank":[${graphCurve.map(_._2).mkString(",")}],"hits":[${graphCurve.map(_._3).mkString(",")}],"components":[${graphCurve.map(_._4).mkString(",")}]}"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head},"dedup_curve_sec":[${dedupCurve.mkString(",")}],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_ops":$gOps,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      // per-point boundary probes: each curve point carries the CPU work
+      // unit sampled right after it, so a squeezed/non-monotonic point is
+      // attributable to host steal from the artifact alone (no
+      // cross-referencing the chronological probe_sec array needed)
+      val dProbes = dedupCurve.map(p => f"${p._2}%.3f").mkString(",")
+      val gProbes = graphCurve.map(p => f"${p._5}%.3f").mkString(",")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head._1},"dedup_curve_sec":[${dedupCurve.map(_._1).mkString(",")}],"dedup_curve_probe_sec":[$dProbes],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_probe_sec":[$gProbes],"graph_curve_ops":$gOps,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
         (json + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     probes += boundaryProbe(benchCpus) // phase boundary: queries done
-    val notReached = Seq.fill(3)((-3.0, -3.0, -3.0, -3.0))
-    writeArtifact(emitJson(Seq(-3.0, -3.0, -3.0, -3.0), -3.0, -3.0, (-3.0, 0L, 0L, 0L),
+    val notReached = Seq.fill(3)((-3.0, -3.0, -3.0, -3.0, -3.0))
+    writeArtifact(emitJson(Seq.fill(4)((-3.0, -3.0)), -3.0, -3.0, (-3.0, 0L, 0L, 0L),
       notReached, load1(), partial = true))
     // SPARK_GRAFT_SMOKES=0: queries-only run for local iteration (the scale
     // smokes add ~10-20 min); the artifact keeps partial=true so BASELINE
@@ -206,9 +212,10 @@ object Bench {
     val dedupCurve = Seq(1000000L, 2000000L, 4000000L, 8000000L).map { n =>
       try {
         val (secs, dups, expected) = DedupScaleSmoke.run(freshSmokeSession(), n)
-        probes += boundaryProbe(benchCpus) // boundary after each curve point
-        if (dups == expected) secs else -2.0
-      } catch { case _: Throwable => -1.0 }
+        val p = boundaryProbe(benchCpus) // boundary after each curve point
+        probes += p
+        (if (dups == expected) secs else -2.0, p)
+      } catch { case _: Throwable => (-1.0, -1.0) }
     }
     // the winnowing engine over the same 1M docs — result-checked against
     // the same expected duplicate count; same sentinels
@@ -248,10 +255,10 @@ object Bench {
     val graphCurve = Seq(5000000L, 10000000L, 20000000L).map { m =>
       try {
         val r = GraphScaleSmoke.run(freshSmokeSession(), m)
-        probes += boundaryProbe(benchCpus)
-        if (r.ok) (r.totalSecs, r.prSecs, r.hitsSecs, r.ccSecs)
-        else (-2.0, r.prSecs, r.hitsSecs, r.ccSecs)
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+        val p = boundaryProbe(benchCpus)
+        probes += p
+        (if (r.ok) r.totalSecs else -2.0, r.prSecs, r.hitsSecs, r.ccSecs, p)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0) }
     }
     val loadAfter = load1()
     val json = emitJson(dedupCurve, winnowSmokeSec, substringSmokeSec, mergeSmoke,
@@ -278,7 +285,7 @@ object Bench {
       .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head)},"dedup_curve_sec":[${dedupCurve.map(r3).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head._1)},"dedup_curve_sec":[${dedupCurve.map(d => r3(d._1)).mkString(",")}],"dedup_curve_probe_sec":[${dedupCurve.map(d => r3(d._2)).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"graph_curve_probe_sec":[${graphCurve.map(g => r3(g._5)).mkString(",")}],"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
     println(compact)
     if (smokeSpark != null) smokeSpark.stop()
   }
