@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * 24-bit BMP and binary PPM decoders plus the JDK's bundled
   * `javax.imageio` PNG/JPEG readers — all standard-library, asserted
   * against checked-in fixtures and cross-container equality. The AUDIO
-  * sample path is real for 16-bit PCM WAV (`audioSamples`, exact
-  * round-trip tested). Payloads in formats none of those cover
-  * (compressed audio/video codecs, exotic images) fall back to the
+  * sample path is real for 16-bit PCM WAV plus the COMPRESSED in-WAV
+  * codecs G.711 μ-law/A-law and IMA ADPCM (`audioSamples` →
+  * [[AudioCodecs]]; exact round-trip / JDK-cross-validated). Payloads
+  * in formats none of those cover (MP3/Vorbis-class codecs, video,
+  * exotic images) fall back to the
   * clearly-marked deterministic `decodeStub` — swap in a heavier decoder
   * (e.g. javacv) without touching the pipeline shape.
   */
@@ -279,10 +281,13 @@ object Multimodal {
     }
   }
 
-  /** REAL audio sample decode for 16-bit PCM RIFF/WAVE: the same chunk
-    * walk as [[audioHeader]], then the data chunk's little-endian shorts
-    * (interleaved when multi-channel). Returns (sample_rate, channels,
-    * samples). Non-PCM (format code ≠ 1), other bit depths, and
+  /** REAL audio sample decode for RIFF/WAVE: the same chunk walk as
+    * [[audioHeader]], then the data chunk decoded per format tag —
+    * 16-bit PCM (tag 1, little-endian shorts), G.711 μ-law/A-law
+    * (tags 7/6, COMPRESSED 2:1, expanded via [[AudioCodecs]]), and
+    * IMA/DVI ADPCM (tag 0x11, COMPRESSED 4:1, block decode). Returns
+    * (sample_rate, channels, samples) with samples interleaved when
+    * multi-channel. Unsupported format tags, other bit depths, and
     * truncated payloads → None — the same fallback contract as
     * [[decodePixels]]. */
   def audioSamples(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -295,6 +300,7 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None // formatCode, rate, channels
     var bits = -1
+    var blockAlign = -1
     var dataOff = -1
     var dataBytes = -1L
     while (i + 8 <= payload.length && (fmt.isEmpty || dataOff < 0)) {
@@ -302,20 +308,39 @@ object Multimodal {
       val sz = le32(i + 4)
       if (id == "fmt " && i + 24 <= payload.length) {
         fmt = Some((le16(i + 8), le32(i + 12).toInt, le16(i + 10)))
+        blockAlign = le16(i + 20)
         bits = le16(i + 22)
       } else if (id == "data") { dataOff = i + 8; dataBytes = sz }
       // same Long-stepped, strictly-advancing walk as [[audioHeader]]
       val next = i.toLong + 8L + sz + (sz & 1L)
       i = if (next > payload.length) payload.length else next.toInt
     }
+    val dataOk = dataOff >= 0 && dataBytes >= 0 &&
+      dataOff.toLong + dataBytes <= payload.length
     fmt match {
-      case Some((1, rate, ch)) if bits == 16 && rate > 0 && ch > 0 && dataOff >= 0 &&
-          dataOff.toLong + dataBytes <= payload.length =>
+      case Some((1, rate, ch)) if bits == 16 && rate > 0 && ch > 0 && dataOk =>
         val n = (dataBytes / 2).toInt
         val out = new Array[Short](n)
         var j = 0
         while (j < n) { out(j) = le16(dataOff + j * 2).toShort; j += 1 }
         Some((rate, ch, out))
+      // G.711 companded (REAL compressed codecs, 2:1): one byte per
+      // sample, expanded through [[AudioCodecs]]
+      case Some((fc, rate, ch)) if (fc == 6 || fc == 7) && bits == 8 &&
+          rate > 0 && ch > 0 && dataOk =>
+        val n = dataBytes.toInt
+        val out = new Array[Short](n)
+        var j = 0
+        if (fc == 7)
+          while (j < n) { out(j) = AudioCodecs.ulawToLinear(payload(dataOff + j) & 0xff); j += 1 }
+        else
+          while (j < n) { out(j) = AudioCodecs.alawToLinear(payload(dataOff + j) & 0xff); j += 1 }
+        Some((rate, ch, out))
+      // IMA/DVI ADPCM (4:1): block-structured 4-bit adaptive coding
+      case Some((17, rate, ch)) if bits == 4 && rate > 0 && ch > 0 &&
+          dataOk && blockAlign >= 4 * ch =>
+        Some((rate, ch,
+          AudioCodecs.decodeIma(payload, dataOff, dataBytes.toInt, ch, blockAlign)))
       case _ => None
     }
   }
