@@ -45,7 +45,23 @@ object Ccidb {
     when(size(effs) === size(funcs), funcs)
       .when(size(funcs) === 1, transform(effs, _ => element_at(funcs, 1)))
 
+  /** CSV-export entry (the spreadsheet codec handled at fetch time). */
   def parse(spark: SparkSession, dataCsv: String, geneMappingCsv: String,
+            termMappingCsv: String): ExtractedGraph =
+    parseFrame(spark,
+      spark.read.option("header", "true").option("multiLine", "true").csv(dataCsv),
+      geneMappingCsv, termMappingCsv)
+
+  /** Native xlsx entry: reads 'Sheet1' exactly as the reference's
+    * pd.read_excel (loadCCIDB.py:115) through the pure-JDK
+    * [[graft.sources.Xlsx]] reader — same null-for-empty contract as
+    * the CSV export, so downstream logic is shared verbatim. */
+  def parseXlsx(spark: SparkSession, dataXlsx: String, geneMappingCsv: String,
+                termMappingCsv: String): ExtractedGraph =
+    parseFrame(spark, graft.sources.Xlsx.readSheet(spark, dataXlsx, "Sheet1"),
+      geneMappingCsv, termMappingCsv)
+
+  private def parseFrame(spark: SparkSession, raw: DataFrame, geneMappingCsv: String,
             termMappingCsv: String): ExtractedGraph = {
     val genes = broadcast(spark.read.option("header", "true").csv(geneMappingCsv)
       .select(col("genes in CCIDB").as("gene_label"), col("ID").as("gene_id"))
@@ -56,8 +72,6 @@ object Ccidb {
         col("context qualifier").as("ctx_q"),
         col("form or variant qualifier").as("form_q"))
       .filter(col("term_id").isNotNull && col("term_id") =!= ""))
-
-    val raw = spark.read.option("header", "true").option("multiLine", "true").csv(dataCsv)
 
     val base0 = raw
       .withColumn("_pmid", concat(lit("PMID:"), sanitize(col("PMID"))))

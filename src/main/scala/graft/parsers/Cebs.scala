@@ -34,17 +34,31 @@ object Cebs {
       regexp_extract(iri, "obolibrary\\.org/obo/([A-Za-z]+)_([A-Za-z0-9]+)", 2)))
   }
 
-  def parse(spark: SparkSession, csvPath: String): ExtractedGraph = {
-    val raw = spark.read.option("header", "true").option("multiLine", "true").csv(csvPath)
+  /** CSV-export entry (the spreadsheet codec handled at fetch time). */
+  def parse(spark: SparkSession, csvPath: String): ExtractedGraph =
+    parseFrame(spark,
+      spark.read.option("header", "true").option("multiLine", "true").csv(csvPath))
+
+  /** Native xlsx entry: reads the 'Data' sheet exactly as the
+    * reference's pd.read_excel (loadCEBS.py:136) through the pure-JDK
+    * [[graft.sources.Xlsx]] reader. */
+  def parseXlsx(spark: SparkSession, xlsxPath: String): ExtractedGraph =
+    parseFrame(spark, graft.sources.Xlsx.readSheet(spark, xlsxPath, "Data"))
+
+  private def parseFrame(spark: SparkSession, raw: org.apache.spark.sql.DataFrame): ExtractedGraph = {
     val evidence = col("Study Level Evidence (Level of Evidence)")
 
     val morphs = transform(
       split(coalesce(col("Morphology Ontology Link (or ID)"), lit("")), ";"), m => trim(m))
-    // first element that passes any of the reference's per-element checks
-    val picked = element_at(filter(morphs, m =>
+    // first element that passes any of the reference's per-element checks;
+    // guarded (null, not ANSI throw) for rows where nothing passes —
+    // element_at(arr, 1) on the empty filter result crashes whenever the
+    // optimizer evaluates it before/with the evidence row-filter
+    val passing = filter(morphs, m =>
       m.contains("MONDO:") ||
         (compress(m).isNotNull &&
-          (compress(m).contains("NCIT") || !compress(m).contains("MPATH")))), 1)
+          (compress(m).contains("NCIT") || !compress(m).contains("MPATH"))))
+    val picked = when(size(passing) >= 1, element_at(passing, 1))
     val objectId = coalesce(
       when(picked.contains("MONDO:"), picked).otherwise(compress(picked)),
       compress(element_at(morphs, -1))) // the loop's trailing possible_id

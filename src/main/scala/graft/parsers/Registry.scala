@@ -104,11 +104,16 @@ object Registry {
     "OHD-Carolina" -> ((s, dir) =>
       OhdCarolina.parse(s, s"$dir/unc_omop_2018_2022_kg.zip", "unc_omop_2018_2022_kg.csv")),
     "SIGNOR" -> ((s, dir) => Signor.parse(s, dir)),
-    // CCIDB's xlsx is consumed as its CSV export (spreadsheet codec =
-    // fetch-time concern); mapping tables ship with the parser
+    // CCIDB ships as xlsx (loadCCIDB.py:52): read natively via the
+    // pure-JDK Xlsx reader when present, else its CSV export; mapping
+    // tables ship with the parser
     "CCIDB" -> ((s, dir) =>
-      Ccidb.parse(s, s"$dir/CCIDB_Human.csv", s"$dir/gene_mapping.csv",
-        s"$dir/term_mapping.csv")),
+      if (new java.io.File(s"$dir/CCIDB_Human.xlsx").isFile)
+        Ccidb.parseXlsx(s, s"$dir/CCIDB_Human.xlsx", s"$dir/gene_mapping.csv",
+          s"$dir/term_mapping.csv")
+      else
+        Ccidb.parse(s, s"$dir/CCIDB_Human.csv", s"$dir/gene_mapping.csv",
+          s"$dir/term_mapping.csv")),
     "ClinicalTrialsKP" -> ((s, dir) =>
       Ctkp.parse(s, s"$dir/clinical_trials_kg_nodes_v2.2.10.tsv",
         s"$dir/clinical_trials_kg_edges_v2.2.10.tsv")),
@@ -128,9 +133,12 @@ object Registry {
     "UniRef" -> ((s, dir) => UniRef.parse(s, s"$dir/UniRef*.xml")),
     "LINCS" -> ((s, dir) => Cfde.parse(s, dir, Cfde.lincs)),
     "MetabolomicsWorkbench" -> ((s, dir) => Cfde.parse(s, dir, Cfde.metabolomicsWorkbench)),
-    // CEBS xlsx consumed as its CSV export (spreadsheet codec = fetch-time
-    // concern, same seam as CCIDB)
-    "CEBS" -> ((s, dir) => Cebs.parse(s, s"$dir/TR_LOE_latest.csv")),
+    // CEBS ships as xlsx (loadCEBS.py:41): native Xlsx read when
+    // present, else the CSV export (same seam as CCIDB)
+    "CEBS" -> ((s, dir) =>
+      if (new java.io.File(s"$dir/TR_LOE_latest.xlsx").isFile)
+        Cebs.parseXlsx(s, s"$dir/TR_LOE_latest.xlsx")
+      else Cebs.parse(s, s"$dir/TR_LOE_latest.csv")),
     // both LitCoin variants parse identically — they differ only in which
     // bagel backend filled the grounding cache (loadLitCoin.py:502-508)
     "LitCoin" -> ((s, dir) => LitCoin.parse(s, dir)),
