@@ -71,6 +71,59 @@ object Vcf {
         lit("").as("QUAL"), lit("PASS").as("FILTER"), lit("").as("INFO"))
   }
 
+  /** Write a CHROM..INFO frame as ONE headered tab-separated VCF file —
+    * the shape the SnpEff subprocess consumes. Single-file is inherent
+    * to this seam (the reference hands one path to one subprocess,
+    * ref :107-109); the surrounding transforms stay distributed. */
+  def writeVcfFile(vcf: DataFrame, file: String): Unit = {
+    val tmp = file + ".spark-tmp"
+    vcf.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("emptyValue", "").csv(tmp)
+    val dest = new java.io.File(file)
+    if (dest.exists()) dest.delete()
+    val out = new java.io.FileOutputStream(dest)
+    try {
+      out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n".getBytes("UTF-8"))
+      new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+        .foreach(p => java.nio.file.Files.copy(p.toPath, out))
+    } finally out.close()
+    val dir = new java.io.File(tmp)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
+  /** Scan an annotated VCF file back as the CHROM..INFO frame
+    * (header/comment lines dropped) — distributed, schema-pinned. */
+  def readAnnotatedVcf(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("comment", "#")
+      .schema("CHROM STRING, POS STRING, ID STRING, REF STRING, ALT STRING, " +
+        "QUAL STRING, FILTER STRING, INFO STRING")
+      .csv(path)
+
+  /** D5 END-TO-END orchestration (ref run_supplementation :85-118 +
+    * run_snpeff :135-154): variant nodes → `variants.vcf` on disk → the
+    * SnpEff jar through the pluggable [[graft.io.Neo4jTools.CommandRunner]]
+    * (the subprocess's stdout IS the annotated VCF, exactly the
+    * reference's redirect) → `variants_ann.vcf` → distributed scan →
+    * supplemental KGX (nodes, edges). A non-zero exit raises with the
+    * subprocess stderr, mirroring SupplementationFailedError. */
+  def supplement(spark: SparkSession, variantNodes: DataFrame, workDir: String,
+                 runner: graft.io.Neo4jTools.CommandRunner,
+                 referenceGenome: String = "GRCh38.99",
+                 udDistance: Int = 100000): (DataFrame, DataFrame) = {
+    new java.io.File(workDir).mkdirs()
+    val vcfPath = s"$workDir/variants.vcf"
+    writeVcfFile(variantNodesToVcf(variantNodes), vcfPath)
+    val annotatedPath = s"$workDir/variants_ann.vcf"
+    val res = runner.run(Seq("java", "-Xmx12g", "-jar", "snpEff.jar", "-noStats",
+      "-ud", udDistance.toString, referenceGenome, vcfPath), cwd = Some(workDir))
+    if (res.exitCode != 0)
+      throw new IllegalStateException(
+        s"SNPEFF subprocess error (ExitCode ${res.exitCode}): ${res.stderr}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(annotatedPath),
+      res.stdout.getBytes("UTF-8"))
+    annotatedVcfToKgx(readAnnotatedVcf(spark, annotatedPath))
+  }
+
   /** The SnpEff subprocess seam: in production this writes the VCF, invokes
     * `java -Xmx12g -jar snpEff.jar` (ref :135-154) and returns the annotated
     * path. STUB here — annotates every variant with a deterministic fake

@@ -40,6 +40,64 @@ class VcfSpec extends SparkSpec {
     assert(nodes.count() == 3) // ENSG001/2/3
   }
 
+  test("supplement: write → subprocess → scan composes end-to-end over the CommandRunner seam") {
+    import spark.implicits._
+    // fake snpEff jar: validates the reference's exact command shape
+    // (run_snpeff, supplementation.py:135-154), READS the VCF file the
+    // pipeline actually wrote, and emits canned ANN= output on stdout —
+    // one annotation per non-header row, gene id derived from the
+    // variant id so the loop's data flow is observable in the result
+    val ran = new java.util.concurrent.atomic.AtomicReference[Seq[String]]()
+    val fake = new graft.io.Neo4jTools.CommandRunner {
+      override def run(cmd: Seq[String], cwd: Option[String]): graft.io.Neo4jTools.CommandResult = {
+        ran.set(cmd)
+        val lines = scala.io.Source.fromFile(cmd.last).getLines().toSeq
+        val out = lines.map { l =>
+          if (l.startsWith("#")) l
+          else {
+            val f = l.split("\t", -1)
+            val gene = "ENSG" + f(2).replaceAll("[^0-9]", "")
+            val eff = if (f(2).endsWith("1")) "missense_variant" else "frameshift_variant"
+            f.take(7).mkString("\t") +
+              s"\tANN=${f(4)}|$eff|HIGH|G|$gene|transcript|T1|protein_coding|1/1|c.1A>G|||||77|"
+          }
+        }.mkString("\n")
+        graft.io.Neo4jTools.CommandResult(0, stdout = out)
+      }
+      override def cypher(st: String) = graft.io.Neo4jTools.CommandResult(0)
+      override def executableAvailable(name: String) = true
+    }
+    val nodes = spark.read.json(Seq(
+      """{"id":"CAID:CA1","category":["biolink:SequenceVariant"],"robokop_variant_id":"HGVS:x|1|100|b38|T|C"}""",
+      """{"id":"CAID:CA2","category":["biolink:SequenceVariant"],"robokop_variant_id":"HGVS:x|2|200|b38||G"}""",
+      """{"id":"GENE:1","category":["biolink:Gene"]}""").toDS())
+    val dir = java.nio.file.Files.createTempDirectory("snpeff-e2e-").toString
+    val (geneNodes, edges) = Vcf.supplement(spark, nodes, dir, fake)
+    // command shape: java -Xmx12g -jar snpEff.jar -noStats -ud 100000 GRCh38.99 <vcf>
+    assert(ran.get().take(5) == Seq("java", "-Xmx12g", "-jar", "snpEff.jar", "-noStats"))
+    assert(ran.get().containsSlice(Seq("-ud", "100000", "GRCh38.99")))
+    assert(ran.get().last == s"$dir/variants.vcf")
+    // both intermediate files exist on disk (write AND redirect happened)
+    assert(new java.io.File(s"$dir/variants.vcf").isFile)
+    assert(new java.io.File(s"$dir/variants_ann.vcf").isFile)
+    // the parse consumed what the fake jar derived from the REAL file
+    val byId = edges.collect().map(r =>
+      r.getAs[String]("subject") -> (r.getAs[String]("predicate"), r.getAs[String]("object"))).toMap
+    assert(byId("CAID:CA1") == (("SO:0001583", "ENSEMBL:ENSG1")))  // missense
+    assert(byId("CAID:CA2") == (("SO:0001589", "ENSEMBL:ENSG2")))  // frameshift
+    assert(geneNodes.count() == 2)
+    // failure path: non-zero exit surfaces stderr, mirrors SupplementationFailedError
+    val broken = new graft.io.Neo4jTools.CommandRunner {
+      override def run(cmd: Seq[String], cwd: Option[String]) =
+        graft.io.Neo4jTools.CommandResult(3, stderr = "boom")
+      override def cypher(st: String) = graft.io.Neo4jTools.CommandResult(0)
+      override def executableAvailable(name: String) = true
+    }
+    val e = intercept[IllegalStateException](
+      Vcf.supplement(spark, nodes, dir, broken))
+    assert(e.getMessage.contains("ExitCode 3") && e.getMessage.contains("boom"))
+  }
+
   test("full supplementation loop with stubbed SnpEff (D5)") {
     import spark.implicits._
     val nodes = spark.read.json(Seq(
