@@ -26,8 +26,31 @@ object GraphMerger {
     def release(): Unit = cachedIntermediates.foreach(_.unpersist())
   }
 
-  private def unionAll(dfs: Seq[DataFrame]): DataFrame =
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  /** Cross-source schema harmonization for list-valued properties: the
+    * reference's JSON property-merge absorbs a scalar as a one-element
+    * list implicitly — its own loaders emit BOTH shapes for the same
+    * property (IntAct: scalar pub_id, loadIA.py:376, vs publication
+    * arrays everywhere else; SIGNOR: description as a list,
+    * loadSIGNOR.py:378, vs CTD's scalar, loadCTD.py:495). A typed union
+    * must do the wrap explicitly or a multi-source spec fails on STRING
+    * vs ARRAY<STRING> column conflicts. A column counts as list-valued
+    * when ANY unioned frame has it as array<string>, plus the Biolink
+    * list props (so a single scalar-emitting source still lands in the
+    * canonical list shape). */
+  private def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val arrayCols = dfs.flatMap(_.schema.fields).collect {
+      case f if f.dataType.isInstanceOf[ArrayType] &&
+        f.dataType.asInstanceOf[ArrayType].elementType == StringType => f.name
+    }.toSet ++ Biolink.listProps
+    def harmonize(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (arrayCols.contains(f.name) && f.dataType == StringType)
+          d.withColumn(f.name, when(col(f.name).isNotNull, array(col(f.name))))
+        else d
+      }
+    dfs.map(harmonize).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** U1+A1-A3 — merge the primary sources: union, ordinal-tag in source
     * order, property-merge nodes by id and edges by composite key. */
@@ -117,9 +140,9 @@ object GraphMerger {
         val n = me.agg(fsum("nMerged")).head().getLong(0)
         (MergeEngine.jsonToDf(me, Some(unioned.schema)), n, Seq(me))
       }
-    val edgesOut = dontMerge.foldLeft(edges) { (acc, sg) =>
-      acc.unionByName(sg.edges, allowMissingColumns = true)
-    }
+    val edgesOut =
+      if (dontMerge.isEmpty) edges
+      else unionAll(edges +: dontMerge.map(_.edges))
 
     val addedNodeFrames = secondaryParts.map(_._1) ++ dontMerge.map(_.nodes)
     val (nodes, extraNodesMerged, nodeCaches) =

@@ -7,38 +7,8 @@ import org.apache.spark.sql.functions._
   * through SqlSource (S4). */
 class DrugCentralSpec extends SparkSpec {
 
-  private def seedDb(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-dc-").toString
-    val url = s"jdbc:derby:$dir/dcdb;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      st.execute("""CREATE TABLE omop_relationship (
-        struct_id INT, relationship_name VARCHAR(64), umls_cui VARCHAR(16), cui_semantic_type VARCHAR(8))""")
-      st.execute("INSERT INTO omop_relationship VALUES (5, 'indication', 'C0011849', 'T047')")
-      st.execute("INSERT INTO omop_relationship VALUES (5, 'contraindication', 'C0020538', NULL)")
-      st.execute("INSERT INTO omop_relationship VALUES (6, 'indication', 'C0002871', 'T121')") // excluded sty
-      st.execute("INSERT INTO omop_relationship VALUES (6, 'indication', NULL, NULL)")         // null cui
-
-      st.execute("""CREATE TABLE faers (
-        struct_id INT, meddra_code VARCHAR(16), llr DOUBLE, llr_threshold DOUBLE, drug_ae INT)""")
-      st.execute("INSERT INTO faers VALUES (5, '10020772', 120.5, 100.0, 30)")
-      st.execute("INSERT INTO faers VALUES (5, '10021428', 90.0, 100.0, 30)")  // llr below threshold
-      st.execute("INSERT INTO faers VALUES (6, '10021428', 150.0, 100.0, 10)") // drug_ae <= 25
-
-      st.execute("""CREATE TABLE act_table_full (
-        struct_id INT, act_value DOUBLE, act_unit VARCHAR(16), act_type VARCHAR(16),
-        act_source VARCHAR(32), act_source_url VARCHAR(128), action_type VARCHAR(32), target_id INT)""")
-      st.execute("CREATE TABLE td2tc (target_id INT, component_id INT)")
-      st.execute("CREATE TABLE target_component (id INT, accession VARCHAR(16))")
-      st.execute("INSERT INTO act_table_full VALUES (5, 7.2, NULL, 'IC50', 'CHEMBL', NULL, 'INHIBITOR', 1)")
-      st.execute("INSERT INTO act_table_full VALUES (6, 8.1, NULL, 'Kd', 'SCIENTIFIC LITERATURE', 'http://www.ncbi.nlm.nih.gov/pubmed/12345', NULL, 1)")
-      st.execute("INSERT INTO td2tc VALUES (1, 11)")
-      st.execute("INSERT INTO target_component VALUES (11, 'P00374')")
-      st.close()
-    } finally conn.close()
-    url
-  }
+  private def seedDb(): String =
+    DerbyFixtures.seedDrugCentral(java.nio.file.Files.createTempDirectory("graft-derby-").toString)
 
   test("three SQL extractions: omop map, faers gates, bioactivity predicates") {
     val g = DrugCentral.parse(spark, seedDb())

@@ -7,36 +7,8 @@ import org.apache.spark.sql.functions._
   * predicates, TIGA skip. */
 class PharosSpec extends SparkSpec {
 
-  private def seedDb(): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-pharos-").toString
-    val url = s"jdbc:derby:$dir/tcrd;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      st.execute("CREATE TABLE protein (id INT, sym VARCHAR(32))")
-      st.execute("INSERT INTO protein VALUES (1, 'ADA')")
-      st.execute("CREATE TABLE xref (protein_id INT, xtype VARCHAR(16), value VARCHAR(32))")
-      st.execute("INSERT INTO xref VALUES (1, 'HGNC', 'HGNC:186')")
-      st.execute("INSERT INTO xref VALUES (1, 'Ensembl', 'ENSG1')") // non-HGNC ignored
-      st.execute("""CREATE TABLE disease (
-        protein_id INT, did VARCHAR(32), name VARCHAR(64), dtype VARCHAR(64), score DOUBLE)""")
-      st.execute("INSERT INTO disease VALUES (1, 'C0002871', 'anémia', 'DisGeNET', 0.4)")
-      st.execute("INSERT INTO disease VALUES (1, 'Orphanet:846', 'alpha-thal', 'Monarch', NULL)")
-      st.execute("INSERT INTO disease VALUES (1, 'MIM:102700', 'scid', 'DrugCentral Indication', NULL)")
-      st.execute("INSERT INTO disease VALUES (1, 'DOID:1', 'tiga hit', 'JensenLab Experiment TIGA', 0.9)")
-      st.execute("INSERT INTO disease VALUES (1, 'ENSP00001', 'bad id', 'DisGeNET', NULL)") // filtered in SQL
-      st.execute("""CREATE TABLE drug_activity (
-        target_id INT, drug VARCHAR(64), cmpd_chemblid VARCHAR(32), act_value DOUBLE,
-        act_type VARCHAR(16), action_type VARCHAR(32))""")
-      st.execute("INSERT INTO drug_activity VALUES (1, 'pentostatin', 'CHEMBL1234', 8.5, 'IC50', 'INHIBITOR')")
-      st.execute("""CREATE TABLE cmpd_activity (
-        target_id INT, cmpd_name_in_src VARCHAR(64), cmpd_id_in_src VARCHAR(32), catype VARCHAR(32),
-        act_value DOUBLE, act_type VARCHAR(16), pubmed_ids VARCHAR(128))""")
-      st.execute("INSERT INTO cmpd_activity VALUES (1, 'cmpd one', '5035', 'Guide to Pharmacology', 6.1, 'Ki', '11111|22222')")
-      st.close()
-    } finally conn.close()
-    url
-  }
+  private def seedDb(): String =
+    DerbyFixtures.seedPharos(java.nio.file.Files.createTempDirectory("graft-derby-").toString)
 
   test("gene-disease curie fixups, dtype provenance routing, TIGA skipped") {
     val g = Pharos.parse(spark, seedDb())
