@@ -11,13 +11,30 @@ import org.apache.spark.sql.functions._
   * where `dangling = Σ r(u) over nodes with no out-edges`. With the
   * uniform initial rank 1/N this keeps Σ r(v) = 1 every iteration.
   *
-  * Scale shape: per iteration, ONE shuffle — contributions are computed
-  * by joining ranks to the (src-partitioned, persisted) out-degree-
-  * annotated edge list and hash-aggregating on `dst`; the dangling mass
-  * is a scalar aggregate piggybacked on the same pass. Ranks are
-  * persisted per iteration to cut lineage (same discipline as
-  * [[Bfs]]); a fixed iteration count (the common production choice —
-  * convergence-εs are replaced by a budget) keeps the plan bounded.
+  * Scale shape: per iteration, ONE shuffle and ONE job — contributions
+  * are computed by joining ranks to the (src-partitioned, persisted)
+  * out-degree-annotated edge list and hash-aggregating on `dst`, and the
+  * NEXT iteration's dangling scalar rides the same action that
+  * materializes the new rank vector into the cache (`filter(!has_out)
+  * .agg(sum(rank)).head()` over the fresh persist computes every
+  * partition exactly once and returns the scalar) — there is no separate
+  * per-iteration dangling job and no bare `count()` lineage-cut action.
+  * The dangling SET is static (nodes with no out-edges), flagged once up
+  * front. Ranks are persisted per iteration to cut lineage (same
+  * discipline as [[Bfs]]); a fixed iteration count (the common
+  * production choice — convergence-εs are replaced by a budget) keeps
+  * the plan bounded.
+  *
+  * Two rejected alternatives, both measured at sf0.1: (a) a broadcast
+  * 1-row-aggregate that fuses the scalar into the update job —
+  * per-iteration BroadcastExchange of a subtree over cached data, ≈8×
+  * slower; (b) the [[Hits]]-style fully-composed single job — the
+  * dangling branch makes every iteration consume r_{i-1} TWICE, so the
+  * logical plan doubles per iteration (2^k subtrees) and the measured
+  * run was ≈30% slower than this shape despite exchange reuse. HITS
+  * composes because its recursion is a linear chain; PageRank's scalar
+  * feedback is exactly the part that doesn't.
+  *
   * GraphX's Pregel would pin the graph in specialized RDDs; the
   * DataFrame form keeps AQE, codegen, and spill handling, and feeds
   * straight into the rest of the relational pipeline.
@@ -30,34 +47,26 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int, d: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
+      .unionByName(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // src-partitioned once; every iteration's contribution join co-locates on it
     val annotated = e.join(outDeg, "src").repartition(col("src")).persist()
-    e.unpersist()
 
-    // The dangling SET is static (nodes with no out-edges); only its rank
-    // mass changes per iteration. Flag it once so the per-iteration
-    // dangling job is a filter+agg over the CACHED ranks — the earlier
-    // shape re-ran a left_anti join against the edge list every
-    // iteration. (A broadcast 1-row-aggregate formulation that fused the
-    // scalar into the update job was tried and measured 8× SLOWER — the
-    // per-iteration BroadcastExchange of a subtree over cached data
-    // dominates at this scale; the tiny collect is the cheaper sync.)
     val flagged = nodes.join(
         annotated.select(col("src").as("node")).distinct()
           .withColumn("has_out", lit(true)),
         Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist()
-    flagged.count()
-    nodes.unpersist()
+    val n = flagged.count() // materializes flagged + annotated; N feeds the literals
+    e.unpersist()
+
+    def danglingOf(r: DataFrame): Double = r.filter(!col("has_out"))
+      .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
 
     var ranks = flagged.withColumn("rank", lit(1.0 / n)).persist()
+    var dangling = danglingOf(ranks)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = annotated
         .join(ranks, annotated("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
@@ -68,7 +77,9 @@ object PageRank {
             lit(d) * (coalesce(col("inflow"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .persist()
-      next.count()
+      // single action: caches every partition of `next` AND returns the
+      // next iteration's dangling mass (unused after the last round)
+      dangling = danglingOf(next)
       ranks.unpersist()
       ranks = next
     }
