@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the edge table is hash-partitioned by `src` ONCE and
   * persisted, so every level's join shuffles only the frontier (≤ the
-  * reachable set) against co-located edges. The frontier and visited
-  * sets are persisted per level — the persist cuts lineage, keeping the
-  * plan depth linear in `maxDepth` instead of compounding — and each
-  * level's inputs are unpersisted as soon as the next level has
-  * materialized. For unbounded-depth closures at 100 TB, checkpoint
-  * every ~10 levels to truncate lineage entirely.
+  * reachable set) against co-located edges. Each level persists ONLY its
+  * own fragment (the newly reached nodes) and materializes it with a
+  * single `count()` — the action that decides termination is the same
+  * one that fills the cache, so there is no separate emptiness probe and
+  * no per-level rewrite of the whole visited set (the visited relation
+  * is the union of the cached per-level fragments: total cache traffic
+  * O(V) across the run instead of O(V·depth)). Fragment persistence cuts
+  * lineage per level, keeping plan depth linear in `maxDepth`. For
+  * unbounded-depth closures at 100 TB, checkpoint every ~10 levels to
+  * truncate lineage entirely.
   */
 object Bfs {
 
@@ -28,10 +32,12 @@ object Bfs {
   def reach(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist()
-    var visited = seeds.select(col("node")).distinct()
+    val seed = seeds.select(col("node")).distinct()
       .withColumn("depth", lit(0)).persist()
-    var frontier = visited.select(col("node"))
-    var prevFrontier: Option[DataFrame] = None
+    seed.count()
+    var fragments = List(seed) // one cached fragment per level, newest first
+    var visited = seed.select(col("node"))
+    var frontier = seed.select(col("node"))
     var level = 0
     var done = false
     while (level < maxDepth && !done) {
@@ -42,21 +48,17 @@ object Bfs {
         .join(e.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(level))
         .persist()
-      if (next.isEmpty) { next.unpersist(); done = true }
+      if (next.count() == 0L) { next.unpersist(); done = true }
       else {
-        val grown = visited
-          .unionByName(next.withColumn("depth", lit(level))).persist()
-        grown.count() // materialize off the persisted parents before dropping them
-        visited.unpersist()
-        prevFrontier.foreach(_.unpersist())
-        visited = grown
-        prevFrontier = Some(next)
-        frontier = next
+        fragments = next :: fragments
+        visited = visited.unionByName(next.select(col("node")))
+        frontier = next.select(col("node"))
       }
     }
-    prevFrontier.foreach(_.unpersist())
     e.unpersist()
-    visited // left persisted: the caller consumes it exactly once
+    // union of cached fragments; left persisted: the caller consumes it once
+    fragments.reverse.reduce(_ unionByName _)
   }
 }
