@@ -35,9 +35,12 @@ object KCore {
       val keep = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
+      // dst-semi first, src-semi LAST: the final join leaves the surviving
+      // edge list hash-partitioned on `src`, which the next round's
+      // groupBy(src) and src-side semi-join reuse without an exchange
       val next = und
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
         .persist()
       next.count() // materialize off the parent before dropping it
