@@ -130,6 +130,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       if (results.exists(_._6.isDefined)) -1.0 else results.map(_._2).sum
+    // a crashed smoke must stay diagnosable from the artifact alone: the
+    // -1.0 sentinel says THAT a stage died, `smoke_errors` says WHY (the
+    // run-12 ledger has a refused artifact whose whole smoke tail went -1.0
+    // with stderr discarded — this map is what was missing)
+    val smokeErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def smokeFail(stage: String, t: Throwable): Unit =
+      smokeErrors(stage) =
+        (t.getClass.getName + ": " + String.valueOf(t.getMessage)).take(300)
+    def smokeErrorsJson: String =
+      smokeErrors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+        .mkString("{", ",", "}")
     // composed robokop-style build (parsers → merge → derive → CSV sinks)
     // timed once as a pipeline — reported separately, not in the query total
     val fixturesDir = sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "src/test/resources/parsers")
@@ -138,7 +149,7 @@ object Bench {
       else try {
         val out = java.nio.file.Files.createTempDirectory("bench-robokop-").toString
         time(graft.pipeline.RobokopBuild.run(spark, fixturesDir, out))
-      } catch { case _: Throwable => -1.0 }
+      } catch { case t: Throwable => smokeFail("robokop_build", t); -1.0 }
     // Artifact insurance: the scale smokes below add ~6-10 minutes. If an
     // external timeout kills the run mid-smoke, the query measurements
     // must not die with it — persist a partial artifact now (smoke fields
@@ -169,7 +180,7 @@ object Bench {
       // cross-referencing the chronological probe_sec array needed)
       val dProbes = dedupCurve.map(p => f"${p._2}%.3f").mkString(",")
       val gProbes = graphCurve.map(p => f"${p._5}%.3f").mkString(",")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head._1},"dedup_curve_sec":[${dedupCurve.map(_._1).mkString(",")}],"dedup_curve_probe_sec":[$dProbes],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_probe_sec":[$gProbes],"graph_curve_ops":$gOps,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head._1},"dedup_curve_sec":[${dedupCurve.map(_._1).mkString(",")}],"dedup_curve_probe_sec":[$dProbes],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_probe_sec":[$gProbes],"graph_curve_ops":$gOps,"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
@@ -215,7 +226,7 @@ object Bench {
         val p = boundaryProbe(benchCpus) // boundary after each curve point
         probes += p
         (if (dups == expected) secs else -2.0, p)
-      } catch { case _: Throwable => (-1.0, -1.0) }
+      } catch { case t: Throwable => smokeFail(s"dedup_curve_$n", t); (-1.0, -1.0) }
     }
     // the winnowing engine over the same 1M docs — result-checked against
     // the same expected duplicate count; same sentinels
@@ -225,7 +236,7 @@ object Bench {
           DedupScaleSmoke.runWinnowing(freshSmokeSession(), 1000000L)
         probes += boundaryProbe(benchCpus)
         if (dups == expected) secs else -2.0
-      } catch { case _: Throwable => -1.0 }
+      } catch { case t: Throwable => smokeFail("winnow", t); -1.0 }
     // the exact substring-span engine (q67 semantics) over the same 1M
     // docs — result-checked against the same planted dup count
     val substringSmokeSec =
@@ -234,7 +245,7 @@ object Bench {
           DedupScaleSmoke.runSubstring(freshSmokeSession(), 1000000L)
         probes += boundaryProbe(benchCpus)
         if (dups == expected) secs else -2.0
-      } catch { case _: Throwable => -1.0 }
+      } catch { case t: Throwable => smokeFail("substring", t); -1.0 }
     // merge envelope: 2×25M overlapping sources (50M input rows — an order
     // of magnitude past the reference's 10M RESOURCE_HOGS fork,
     // orion/merging.py:240) through the one production merge path, inside
@@ -246,7 +257,7 @@ object Bench {
         probes += boundaryProbe(benchCpus)
         val ok = r.distinctIds == 2 * n - n / 2 && r.mergedAway == n / 2
         (if (ok) r.secs else -2.0, r.inputRows, r.distinctIds, r.mergedAway)
-      } catch { case _: Throwable => (-1.0, 0L, 0L, 0L) }
+      } catch { case t: Throwable => smokeFail("merge", t); (-1.0, 0L, 0L, 0L) }
     // iterative-graph scale curve: 5M/10M/20M-edge synthetic power-law
     // graphs through the production PageRank(5)/HITS(4)/Components paths,
     // each point invariant-checked (Σrank=1, positive exact-int HITS sums,
@@ -258,7 +269,8 @@ object Bench {
         val p = boundaryProbe(benchCpus)
         probes += p
         (if (r.ok) r.totalSecs else -2.0, r.prSecs, r.hitsSecs, r.ccSecs, p)
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0) }
+      } catch { case t: Throwable =>
+        smokeFail(s"graph_curve_$m", t); (-1.0, -1.0, -1.0, -1.0, -1.0) }
     }
     val loadAfter = load1()
     val json = emitJson(dedupCurve, winnowSmokeSec, substringSmokeSec, mergeSmoke,
@@ -285,7 +297,7 @@ object Bench {
       .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head._1)},"dedup_curve_sec":[${dedupCurve.map(d => r3(d._1)).mkString(",")}],"dedup_curve_probe_sec":[${dedupCurve.map(d => r3(d._2)).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"graph_curve_probe_sec":[${graphCurve.map(g => r3(g._5)).mkString(",")}],"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head._1)},"dedup_curve_sec":[${dedupCurve.map(d => r3(d._1)).mkString(",")}],"dedup_curve_probe_sec":[${dedupCurve.map(d => r3(d._2)).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"graph_curve_probe_sec":[${graphCurve.map(g => r3(g._5)).mkString(",")}],"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
     println(compact)
     if (smokeSpark != null) smokeSpark.stop()
   }
