@@ -61,4 +61,63 @@ object Bfs {
     // union of cached fragments; left persisted: the caller consumes it once
     fragments.reverse.reduce(_ unionByName _)
   }
+
+  /** Unbounded reachability (transitive closure with min depth): runs
+    * until the frontier drains, so the level count is data-dependent.
+    * Per-level mechanics are identical to [[reach]]; the difference is
+    * lineage management at unbounded depth — the union-of-fragments
+    * relation grows one cached fragment per level, and after hundreds of
+    * levels the logical plan itself (and the anti-join's ever-longer
+    * union) becomes the bottleneck. Every `checkpointEvery` levels the
+    * accumulated (node, depth) relation is collapsed into a single
+    * `localCheckpoint`ed relation, the fragments released, and the
+    * frontier re-derived from the collapsed relation — plan depth is
+    * thereby bounded by `checkpointEvery` regardless of graph diameter,
+    * which is what a 100 TB closure over a deep hierarchy needs. */
+  def closure(edges: DataFrame, seeds: DataFrame,
+              checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
+    val seed = seeds.select(col("node")).distinct()
+      .withColumn("depth", lit(0)).persist()
+    seed.count()
+    var acc = seed.toDF() // union of all levels since the last collapse
+    var fragments = List(seed) // cached fragments backing `acc`
+    var visited = seed.select(col("node"))
+    var frontier = seed.select(col("node"))
+    var level = 0
+    var done = false
+    while (!done) {
+      level += 1
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(level))
+        .persist()
+      if (next.count() == 0L) { next.unpersist(); done = true }
+      else {
+        fragments = next :: fragments
+        acc = acc.unionByName(next)
+        visited = visited.unionByName(next.select(col("node")))
+        frontier = next.select(col("node"))
+        if (level % checkpointEvery == 0) {
+          // collapse: one checkpointed relation replaces the fragment
+          // union, truncating lineage AND bounding the anti-join's plan
+          val collapsed = acc.localCheckpoint() // eager — safe to release
+          fragments.foreach(_.unpersist())
+          fragments = Nil
+          acc = collapsed
+          visited = collapsed.select(col("node"))
+          frontier = collapsed.filter(col("depth") === level)
+            .select(col("node"))
+        }
+      }
+    }
+    e.unpersist()
+    // fragments since the last collapse stay persisted: the caller
+    // consumes the result exactly once, straight out of the cache
+    acc
+  }
 }

@@ -121,6 +121,36 @@ object AnalyticsQueries {
             SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 3)
         SELECT node, min(d) AS depth FROM walk GROUP BY node"""
 
+  /** q160 — UNBOUNDED transitive closure (min depth, run-until-drain)
+    * over the dense customer-key ancestor hierarchy k → k div 2 — a
+    * functional DAG ~log2(N) levels deep (14 levels at sf0.1), so
+    * [[Bfs.closure]]'s periodic localCheckpoint lineage collapse
+    * (every 4 levels here) genuinely exercises. Oracle: recursive CTE;
+    * the hierarchy is strictly decreasing, so the recursion terminates
+    * naturally and min-depth grouping matches BFS level semantics. */
+  private val q160: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val edges = c.filter(col("c_custkey") > 1).select(
+      col("c_custkey").cast("long").as("src"),
+      floor(col("c_custkey") / 2).cast("long").as("dst"))
+    val seeds = c.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").cast("long").as("node"))
+    Bfs.closure(edges, seeds, checkpointEvery = 4)
+  }
+
+  private val q160Sql =
+    """WITH RECURSIVE
+         e AS (SELECT CAST(c_custkey AS BIGINT) AS src,
+                      CAST(c_custkey // 2 AS BIGINT) AS dst
+               FROM customer WHERE c_custkey > 1),
+         seeds AS (SELECT CAST(c_custkey AS BIGINT) AS node
+                   FROM customer WHERE c_custkey % 97 = 0),
+         walk(node, d) AS (
+           SELECT node, 0 FROM seeds
+           UNION ALL
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node)
+       SELECT node, min(d) AS depth FROM walk GROUP BY node"""
+
   /** q74 — 5-iteration PageRank over the supply DAG (damping 0.85,
     * dangling mass redistributed uniformly). Oracle: the five power
     * iterations unrolled into chained CTEs. Ranks are rounded to 9
@@ -1013,6 +1043,7 @@ object AnalyticsQueries {
     "q71_asof_join"  -> q71,
     "q72_range_join" -> q72,
     "q73_khop_reach" -> q73,
+    "q160_closure"   -> q160,
     "q74_pagerank"   -> q74,
     "q75_kmv_distinct" -> q75,
     "q76_quantiles"  -> q76,
@@ -1044,6 +1075,7 @@ object AnalyticsQueries {
     "q71_asof_join"  -> q71Sql,
     "q72_range_join" -> q72Sql,
     "q73_khop_reach" -> q73Sql,
+    "q160_closure"   -> q160Sql,
     "q74_pagerank"   -> q74Sql,
     "q75_kmv_distinct" -> q75Sql,
     "q76_quantiles"  -> q76Sql,
