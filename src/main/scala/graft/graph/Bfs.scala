@@ -58,8 +58,14 @@ object Bfs {
       }
     }
     e.unpersist()
-    // union of cached fragments; left persisted: the caller consumes it once
-    fragments.reverse.reduce(_ unionByName _)
+    // collapse the fragment union into ONE eagerly-materialized relation
+    // and release every per-level fragment — repeated invocations (bench
+    // loops, long-lived drivers) must not accumulate cached blocks; the
+    // single checkpointed RDD is released by the ContextCleaner when the
+    // returned DataFrame is garbage-collected
+    val result = fragments.reverse.reduce(_ unionByName _).localCheckpoint()
+    fragments.foreach(_.unpersist())
+    result
   }
 
   /** Unbounded reachability (transitive closure with min depth): runs
@@ -116,8 +122,11 @@ object Bfs {
       }
     }
     e.unpersist()
-    // fragments since the last collapse stay persisted: the caller
-    // consumes the result exactly once, straight out of the cache
-    acc
+    // final collapse: same release discipline as [[reach]] — fragments
+    // since the last checkpoint are folded into one materialized relation
+    // and unpersisted, so nothing stays pinned across invocations
+    val result = acc.localCheckpoint()
+    fragments.foreach(_.unpersist())
+    result
   }
 }

@@ -77,8 +77,15 @@ object Vcf {
     * ref :107-109); the surrounding transforms stay distributed. */
   def writeVcfFile(vcf: DataFrame, file: String): Unit = {
     val tmp = file + ".spark-tmp"
-    vcf.coalesce(1).write.mode("overwrite")
-      .option("sep", "\t").option("emptyValue", "").csv(tmp)
+    // SnpEff consumes RAW tab-separated text: CSV quoting/escaping of a
+    // field containing a quote would corrupt the file, so quoting is
+    // disabled outright and the only characters that could break the
+    // line/field framing are stripped defensively first
+    val sanitized = vcf.columns.foldLeft(vcf)((df, c) =>
+      df.withColumn(c, regexp_replace(col(c), "[\\t\\r\\n]+", " ")))
+    sanitized.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("emptyValue", "")
+      .option("quote", "\u0000").csv(tmp) // NUL quote char = quoting off
     val dest = new java.io.File(file)
     if (dest.exists()) dest.delete()
     val out = new java.io.FileOutputStream(dest)

@@ -40,9 +40,32 @@ object Xlsx {
     f.newDocumentBuilder()
   }
 
+  /** Inflated-size cap per ZIP part: curated sheets are metadata-scale,
+    * so any part inflating past this is a malformed file or a zip bomb
+    * (the entry header's declared size can lie, so the guard counts
+    * actual inflated bytes, not `getSize`). */
+  private[sources] val MaxPartBytes: Long = 64L << 20
+
+  /** Wraps a part stream and fails loud once more than [[MaxPartBytes]]
+    * inflate out of it — the untrusted-content guard for crafted ZIPs. */
+  private final class BoundedStream(in: java.io.InputStream, part: String)
+      extends java.io.FilterInputStream(in) {
+    private var count = 0L
+    private def bump(n: Long): Unit = if (n > 0) {
+      count += n
+      if (count > MaxPartBytes)
+        throw new IllegalArgumentException(
+          s"$part: inflated size exceeds ${MaxPartBytes} bytes (zip-bomb guard)")
+    }
+    override def read(): Int = { val b = super.read(); if (b >= 0) bump(1); b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = super.read(b, off, len); bump(n.toLong); n
+    }
+  }
+
   private def parsePart(zip: java.util.zip.ZipFile, name: String): Option[org.w3c.dom.Document] =
     Option(zip.getEntry(name)).map { e =>
-      val in = zip.getInputStream(e)
+      val in = new BoundedStream(zip.getInputStream(e), s"${zip.getName}!$name")
       try newDocBuilder().parse(in) finally in.close()
     }
 
@@ -117,7 +140,17 @@ object Xlsx {
           val raw = t match {
             case "s" =>
               val v = childText(c, "v")
-              if (v.isEmpty) null else sst(v.trim.toInt)
+              if (v.isEmpty) null
+              else {
+                // malformed-input contract: clear error naming part + cell,
+                // never a raw NumberFormat/IndexOutOfBounds escape
+                val idx = v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+                  s"$path!$partName cell $ref: non-integer shared-string index '$v'"))
+                if (idx < 0 || idx >= sst.length) throw new IllegalArgumentException(
+                  s"$path!$partName cell $ref: shared-string index $idx out of range " +
+                    s"(xl/sharedStrings.xml has ${sst.length} entries)")
+                sst(idx)
+              }
             case "inlineStr" => childText(c, "t")
             case "b" =>
               childText(c, "v").trim match {
@@ -146,8 +179,16 @@ object Xlsx {
   def readSheet(spark: SparkSession, path: String, sheetName: String): DataFrame = {
     val rows = readRows(path, sheetName)
     require(rows.nonEmpty, s"$path!$sheetName: empty sheet")
-    val header = rows.head.zipWithIndex.map { case (h, i) =>
+    val named = rows.head.zipWithIndex.map { case (h, i) =>
       if (h == null || h.isEmpty) s"_c$i" else h
+    }
+    // duplicate headers get their column index suffixed — ALL occurrences,
+    // exactly the Spark CSV reader's makeSafeHeader dedup (case-insensitive,
+    // matching spark.sql.caseSensitive's default) — so col() references stay
+    // unambiguous and the CSV-export parity contract holds
+    val counts = named.groupBy(_.toLowerCase).map { case (k, v) => k -> v.length }
+    val header = named.zipWithIndex.map { case (h, i) =>
+      if (counts(h.toLowerCase) > 1) s"$h$i" else h
     }
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     val data = rows.tail.map(r => Row.fromSeq(r.toSeq))

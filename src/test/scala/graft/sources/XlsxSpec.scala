@@ -138,6 +138,64 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.readRows(p, "Sheet1")(0).toSeq == Seq("multi part"))
   }
 
+  /** Replace one part inside a written xlsx (zip filesystem patch). */
+  private def patchPart(path: String, part: String, bytes: Array[Byte]): Unit = {
+    val fs = java.nio.file.FileSystems.newFileSystem(java.nio.file.Paths.get(path))
+    try java.nio.file.Files.write(fs.getPath(part), bytes)
+    finally fs.close()
+  }
+
+  test("duplicate headers dedup with the column index, like spark.read.csv") {
+    val p = tmp("dup.xlsx")
+    XlsxTestWriter.write(p, Seq("Sheet1" -> Seq(
+      Seq("name", "name", "qty", "Name"), // case-insensitive dup detection
+      Seq("a", "b", "1", "c"))))
+    val df = Xlsx.readSheet(spark, p, "Sheet1")
+    assert(df.columns.toSeq == Seq("name0", "name1", "qty", "Name3"))
+    assert(df.select("name1").head().getString(0) == "b")
+  }
+
+  test("zip-bomb guard: a part inflating past the cap fails loud, fast") {
+    val p = tmp("bomb.xlsx")
+    XlsxTestWriter.write(p, Seq("Sheet1" -> Seq(Seq("x"))))
+    // 80 MiB of spaces deflate to ~100 KiB — the classic bomb shape; the
+    // guard must trip on INFLATED bytes, not the lying entry header
+    val huge = new Array[Byte]((Xlsx.MaxPartBytes + (16L << 20)).toInt)
+    java.util.Arrays.fill(huge, ' '.toByte)
+    "<sst>".getBytes("UTF-8").copyToArray(huge)
+    patchPart(p, "xl/sharedStrings.xml", huge)
+    val e = intercept[IllegalArgumentException](Xlsx.readRows(p, "Sheet1"))
+    assert(e.getMessage.contains("zip-bomb"))
+  }
+
+  test("crafted shared-string cells: non-integer and out-of-range indexes") {
+    def sheetWith(cell: String): String =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1">$cell</row></sheetData></worksheet>"""
+    val p1 = tmp("badidx.xlsx")
+    XlsxTestWriter.write(p1, Seq("Sheet1" -> Seq(Seq("x"))))
+    patchPart(p1, "xl/worksheets/sheet1.xml",
+      sheetWith("""<c r="A1" t="s"><v>abc</v></c>""").getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](Xlsx.readRows(p1, "Sheet1"))
+    assert(e1.getMessage.contains("non-integer shared-string index") &&
+      e1.getMessage.contains("A1"))
+    val p2 = tmp("oob.xlsx")
+    XlsxTestWriter.write(p2, Seq("Sheet1" -> Seq(Seq("x"))))
+    patchPart(p2, "xl/worksheets/sheet1.xml",
+      sheetWith("""<c r="A1" t="s"><v>99</v></c>""").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](Xlsx.readRows(p2, "Sheet1"))
+    assert(e2.getMessage.contains("out of range") && e2.getMessage.contains("A1"))
+  }
+
+  test("doctype declarations (XXE vector) are rejected outright") {
+    val p = tmp("xxe.xlsx")
+    XlsxTestWriter.write(p, Seq("Sheet1" -> Seq(Seq("x"))))
+    patchPart(p, "xl/sharedStrings.xml",
+      """<?xml version="1.0"?><!DOCTYPE sst [<!ENTITY x SYSTEM "file:///etc/passwd">]><sst><si><t>&x;</t></si></sst>"""
+        .getBytes("UTF-8"))
+    intercept[Exception](Xlsx.readRows(p, "Sheet1")) // SAXParse: doctype disallowed
+  }
+
   test("unknown sheet and non-xlsx input fail with a clear error") {
     val p = tmp("one.xlsx")
     XlsxTestWriter.write(p, Seq("Sheet1" -> Seq(Seq("x"))))
