@@ -562,6 +562,108 @@ object SinkQueries {
        ORDER BY run, stage, detail"""
   }
 
+  // ---------------------------------------------------------------- q161
+  /** D5 — the SnpEff supplementation loop END-TO-END behind the hash gate
+    * (ref orion/supplementation.py:85-154): fixture variant nodes →
+    * `Vcf.supplement` (writes `variants.vcf` through the production
+    * writer, drives the CommandRunner seam with a deterministic fake
+    * SnpEff that READS the written file and annotates every data row on
+    * stdout — the reference's exact redirect shape — then writes
+    * `variants_ann.vcf` and scans it back distributed) → variant→gene
+    * KGX edges. The oracle re-derives the same edges from the ON-DISK
+    * `variants_ann.vcf` with DuckDB's independent TSV parser and its own
+    * copy of the SO-term predicate map, so the whole loop — VCF framing,
+    * subprocess command, stdout capture, scan, ANN parsing, effect
+    * fan-out (`,` entries, `&` effects, `-` gene lists), predicate
+    * mapping, distance typing — sits behind the row/schema/hash gate. */
+  private object FakeSnpEff extends graft.io.Neo4jTools.CommandRunner {
+    private val effects = Vector(
+      "missense_variant&synonymous_variant", // multi-effect '&' fan-out
+      "intron_variant",
+      "totally_novel_effect",                // unmapped → fallback predicate
+      "stop_gained",
+      "upstream_gene_variant",
+      "frameshift_variant")
+    override def run(cmd: Seq[String], cwd: Option[String]): graft.io.Neo4jTools.CommandResult = {
+      // the reference invokes `java -Xmx12g -jar snpEff.jar ... <vcf>`
+      // (run_snpeff, supplementation.py:135-154); honor that shape
+      require(cmd.take(4) == Seq("java", "-Xmx12g", "-jar", "snpEff.jar"), cmd.toString)
+      val src = scala.io.Source.fromFile(cmd.last)
+      val lines = try src.getLines().toVector finally src.close()
+      val out = lines.map { l =>
+        if (l.startsWith("#")) l
+        else {
+          val f = l.split("\t", -1)
+          val n = f(2).replaceAll("[^0-9]", "").toLong // variant id digits
+          val eff = effects((n % effects.size).toInt)
+          val genes = if (n % 2 == 0) s"G${n}A-G${n}B" else s"G${n}A" // '-' list
+          val dist = if (n % 3 == 0) "" else (n * 10).toString
+          val ann1 = s"${f(4)}|$eff|MODIFIER|GN|$genes|transcript|T1|pc|1/1|c.1A>G|||||$dist|"
+          val ann = if (n % 2 == 1) // odd rows: second ',' ANN entry, junk distance
+            ann1 + s",${f(4)}|intergenic_region|LOW|GN2|G${n}C|t|T2|pc|1/1|c.2A>G|||||notanum|"
+          else ann1
+          (f.take(7) :+ s"ANN=$ann").mkString("\t")
+        }
+      }
+      graft.io.Neo4jTools.CommandResult(0, out.mkString("\n") + "\n")
+    }
+    override def cypher(st: String) = graft.io.Neo4jTools.CommandResult(0)
+    override def executableAvailable(name: String) = true
+  }
+
+  private val q161: Q = (s, _) => {
+    import s.implicits._
+    val variants = s.read.json(((101 to 108).map { i =>
+      val (ref, alt) = (i % 4) match {
+        case 0 => ("", "G")   // empty ref → N / N-prefixed alt
+        case 1 => ("A", "")   // empty alt → N-suffixed ref / N
+        case 2 => ("T", "C")
+        case _ => ("AC", "A")
+      }
+      s"""{"id":"CAID:CA$i","category":["biolink:SequenceVariant"],
+          "robokop_variant_id":"HGVS:NC_0001.1:g.$i>X|chr${i % 3}|${i * 7}|b38|$ref|$alt"}"""
+    } ++ Seq( // must be filtered out: wrong category / no variant id
+      """{"id":"GENE:9","category":["biolink:Gene"],"robokop_variant_id":"HGVS:x|1|5|b|A|T"}""",
+      """{"id":"CAID:CA999","category":["biolink:SequenceVariant"]}""")).toDS())
+    val (_, edges) =
+      graft.sources.Vcf.supplement(s, variants, s"$sinkOut/q161/work", FakeSnpEff)
+    edges.orderBy("subject", "snpeff_effect", "object")
+  }
+
+  private val q161Sql = {
+    val soMap = graft.sources.Vcf.snpEffSoPredicates.toSeq.sorted
+      .map { case (k, v) => s"('$k','$v')" }.mkString(", ")
+    s"""WITH raw AS (
+         SELECT * FROM read_csv('$sinkOut/q161/work/variants_ann.vcf',
+           delim='\t', header=false, all_varchar=true,
+           names=['CHROM','POS','ID','REF','ALT','QUAL','FILTER','INFO'])
+         WHERE CHROM NOT LIKE '#%'),
+       ann AS (
+         SELECT ID AS variant_id,
+                unnest(string_split(regexp_extract(INFO, 'ANN=([^;]*)', 1), ',')) AS a
+         FROM raw WHERE regexp_extract(INFO, 'ANN=([^;]*)', 1) <> ''),
+       fields AS (SELECT variant_id, string_split(a, '|') AS f FROM ann),
+       efg AS (
+         SELECT variant_id, unnest(string_split(f[2], '&')) AS effect,
+                f[5] AS genes, f[15] AS dist
+         FROM fields),
+       exploded AS (
+         SELECT variant_id, effect, unnest(string_split(genes, '-')) AS gene_id, dist
+         FROM efg),
+       somap(effect, predicate) AS (VALUES $soMap)
+       SELECT e.variant_id AS subject,
+              coalesce(m.predicate, '${graft.sources.Vcf.fallbackPredicate}') AS predicate,
+              'ENSEMBL:' || e.gene_id AS object,
+              '${graft.sources.Vcf.snpEffProvenance}' AS primary_knowledge_source,
+              'prediction' AS knowledge_level,
+              'computational_model' AS agent_type,
+              e.effect AS snpeff_effect,
+              CASE WHEN regexp_matches(e.dist, '^-?[0-9]+$$') THEN CAST(e.dist AS BIGINT) END
+                AS distance_to_feature
+       FROM exploded e LEFT JOIN somap m ON e.effect = m.effect
+       ORDER BY subject, snpeff_effect, object"""
+  }
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
@@ -571,7 +673,8 @@ object SinkQueries {
     "q156_curate_pipeline"    -> q156,
     "q157_bundle_sidecars"    -> q157,
     "q158_neo4j_meta_kg"      -> q158,
-    "q159_ingest_state_machine" -> q159)
+    "q159_ingest_state_machine" -> q159,
+    "q161_snpeff_supplement"  -> q161)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -582,5 +685,6 @@ object SinkQueries {
     "q156_curate_pipeline"    -> q156Sql,
     "q157_bundle_sidecars"    -> q157Sql,
     "q158_neo4j_meta_kg"      -> q158Sql,
-    "q159_ingest_state_machine" -> q159Sql)
+    "q159_ingest_state_machine" -> q159Sql,
+    "q161_snpeff_supplement"  -> q161Sql)
 }
