@@ -15,11 +15,18 @@ import org.apache.spark.sql.types._
   * against checked-in fixtures and cross-container equality. The AUDIO
   * sample path is real for 16-bit PCM WAV plus the COMPRESSED in-WAV
   * codecs G.711 μ-law/A-law and IMA ADPCM (`audioSamples` →
-  * [[AudioCodecs]]; exact round-trip / JDK-cross-validated). Payloads
-  * in formats none of those cover (MP3/Vorbis-class codecs, video,
-  * exotic images) fall back to the
-  * clearly-marked deterministic `decodeStub` — swap in a heavier decoder
-  * (e.g. javacv) without touching the pipeline shape.
+  * [[AudioCodecs]]; exact round-trip / JDK-cross-validated). MP3 gets
+  * real METADATA decode (`mp3Header`: full frame walk, VBR-correct
+  * duration — what a scan-time pipeline extracts at 100 TB).
+  *
+  * SEAM (final): full PCM synthesis for perceptual codecs (MP3/Vorbis
+  * subband+IMDCT reconstruction) and video falls back to the
+  * clearly-marked deterministic `decodeStub`. Those decoders are
+  * thousands of lines of DSP with no JDK support — the production
+  * answer is a heavyweight library (e.g. javacv) plugged in behind the
+  * SAME `audioSamples`/`decodePixels` Option contract, which changes
+  * nothing about the pipeline shape tested here. Every container and
+  * codec the JDK standard library can reach is decoded for real.
   */
 object Multimodal {
 
@@ -281,6 +288,89 @@ object Multimodal {
     }
   }
 
+  // -- MP3 (MPEG-1/2/2.5 audio) frame-header tables, ISO/IEC 11172-3 §2.4.2.3
+  //    (public spec values; layout AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM)
+  private val mp3RatesV1 = Array(44100, 48000, 32000)
+  private val mp3RatesV2 = Array(22050, 24000, 16000)
+  private val mp3RatesV25 = Array(11025, 12000, 8000)
+  private val mp3BitV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val mp3BitV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val mp3BitV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3BitV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val mp3BitV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** One MP3 frame header at `o`: (frameBytes, samplesPerFrame,
+    * sampleRate, channels, bitrateKbps), or None if the 4 bytes at `o`
+    * are not a valid sync + field combination. */
+  private def mp3Frame(p: Array[Byte], o: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (o + 4 > p.length) return None
+    val b1 = p(o) & 0xff; val b2 = p(o + 1) & 0xff
+    val b3 = p(o + 2) & 0xff; val b4 = p(o + 3) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val version = (b2 >> 3) & 0x3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+    val layer = (b2 >> 1) & 0x3   // 1=III, 2=II, 3=I (0 reserved)
+    val bitIdx = (b3 >> 4) & 0xf
+    val rateIdx = (b3 >> 2) & 0x3
+    if (version == 1 || layer == 0 || bitIdx == 0 || bitIdx == 15 || rateIdx == 3)
+      return None // reserved fields / free-format / bad index
+    val rate = (version match {
+      case 3 => mp3RatesV1; case 2 => mp3RatesV2; case _ => mp3RatesV25
+    })(rateIdx)
+    val kbps = (if (version == 3) layer match {
+      case 3 => mp3BitV1L1; case 2 => mp3BitV1L2; case _ => mp3BitV1L3
+    } else if (layer == 3) mp3BitV2L1 else mp3BitV2L23)(bitIdx)
+    val padding = (b3 >> 1) & 0x1
+    val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+    val (samples, frameBytes) = layer match {
+      case 3 => (384, (12 * kbps * 1000 / rate + padding) * 4) // Layer I
+      case 2 => (1152, 144 * kbps * 1000 / rate + padding)     // Layer II
+      case _ => // Layer III: 1152 samples (MPEG1) or 576 (MPEG2/2.5)
+        val s = if (version == 3) 1152 else 576
+        (s, s / 8 * kbps * 1000 / rate + padding)
+    }
+    if (frameBytes < 4) None else Some((frameBytes, samples, rate, channels, kbps))
+  }
+
+  /** REAL MP3 metadata decode — (sample_rate, channels, first-frame
+    * bitrate kbps, duration_ms) — pure byte slicing against the public
+    * ISO/IEC 11172-3 header layout, no codec library. An ID3v2 tag
+    * (syncsafe size) is skipped; the payload must then start at a valid
+    * frame header (no blind sync scan: arbitrary binary with a stray
+    * 0xFFEx must not read as audio). Every frame header is walked —
+    * duration is Σ samples/rate over ACTUAL frames, so VBR streams
+    * measure correctly — stopping at an ID3v1 'TAG' trailer or payload
+    * end; a malformed header mid-stream fails the whole parse (None)
+    * rather than guessing. Full PCM synthesis for MP3 stays at the
+    * [[decodeStub]] seam; headers and duration are what a scan-time
+    * metadata pipeline needs. */
+  def mp3Header(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (payload == null || payload.length < 4) return None
+    var i = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      val skip = 10L + sz
+      if (skip + 4 > payload.length) return None
+      i = skip.toInt
+    }
+    val first = mp3Frame(payload, i).getOrElse(return None)
+    var frames = 0L
+    var totalSamples = 0L
+    var ok = true
+    while (ok && i + 4 <= payload.length) {
+      if (payload(i) == 'T' && payload(i + 1) == 'A' && payload(i + 2) == 'G') {
+        ok = false // ID3v1 trailer: clean end of audio frames
+      } else mp3Frame(payload, i) match {
+        case Some((bytes, samples, _, _, _)) =>
+          frames += 1; totalSamples += samples; i += bytes
+        case None => return None // mid-stream corruption: refuse, don't guess
+      }
+    }
+    if (frames == 0) None
+    else Some((first._3, first._4, first._5, totalSamples * 1000L / first._3))
+  }
+
   /** REAL audio sample decode for RIFF/WAVE: the same chunk walk as
     * [[audioHeader]], then the data chunk decoded per format tag —
     * 16-bit PCM (tag 1, little-endian shorts), G.711 μ-law/A-law
@@ -345,18 +435,22 @@ object Multimodal {
     }
   }
 
-  /** Fill meta.duration_ms/codec from real WAV headers where recognized;
-    * other payloads keep their meta untouched. */
+  /** Fill meta.duration_ms/codec from real WAV or MP3 headers where
+    * recognized; other payloads keep their meta untouched. */
   def withAudioMeta(media: DataFrame): DataFrame = {
     val hdr = udf { payload: Array[Byte] => audioHeader(payload).orNull }
+    val mp3 = udf { payload: Array[Byte] => mp3Header(payload).orNull }
     media.withColumn("_ahdr", hdr(col("payload")))
+      .withColumn("_mp3", mp3(col("payload")))
       .withColumn("meta", struct(
         col("meta.width").as("width"),
         col("meta.height").as("height"),
-        coalesce(col("_ahdr._4"), col("meta.duration_ms")).as("duration_ms"),
-        coalesce(when(col("_ahdr").isNotNull, lit("wav")), col("meta.codec"))
+        coalesce(col("_ahdr._4"), col("_mp3._4"), col("meta.duration_ms"))
+          .as("duration_ms"),
+        coalesce(when(col("_ahdr").isNotNull, lit("wav")),
+          when(col("_mp3").isNotNull, lit("mp3")), col("meta.codec"))
           .as("codec")))
-      .drop("_ahdr")
+      .drop("_ahdr", "_mp3")
   }
 
   /** Fill meta.width/height/codec from real payload headers where

@@ -109,6 +109,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHeader(null) == None)
   }
 
+  /** Hand-built MP3 frames against the public ISO/IEC 11172-3 header
+    * layout — header bytes + zero-filled frame body of the exact length
+    * the header fields imply, so the walker's advance is what's tested. */
+  private def mp3Frames(header: Array[Int], frameLen: Int, n: Int): Array[Byte] = {
+    val frame = new Array[Byte](frameLen)
+    header.indices.foreach(i => frame(i) = header(i).toByte)
+    Array.fill(n)(frame).flatten
+  }
+
+  test("mp3Header: CBR MPEG1 Layer III frame walk, exact duration") {
+    // 0xFF 0xFB: sync + MPEG1 + Layer III + no CRC; 0x90: 128 kbps,
+    // 44100 Hz, no padding; 0x40: joint stereo → 2 channels
+    // frame = 144·128000/44100 = 417 bytes, 1152 samples/frame
+    val b = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 3)
+    assert(Multimodal.mp3Header(b) == Some((44100, 2, 128, 3 * 1152 * 1000L / 44100)))
+  }
+
+  test("mp3Header: MPEG2.5 mono low-rate + ID3v2 skip + ID3v1 trailer") {
+    // 0xE3: MPEG2.5 + Layer III; 0x88: 64 kbps idx (V2 table), 8000 Hz;
+    // 0xC0: mono. frame = 72·64000/8000 = 576 bytes, 576 samples/frame
+    val frames = mp3Frames(Array(0xff, 0xe3, 0x88, 0xc0), 576, 2)
+    assert(Multimodal.mp3Header(frames) == Some((8000, 1, 64, 144L)))
+    // ID3v2 prefix (syncsafe size 0x100 = 256-byte body) and ID3v1 trailer
+    val id3v2 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0x02, 0x00) ++
+      new Array[Byte](256)
+    val id3v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    assert(Multimodal.mp3Header(id3v2 ++ frames ++ id3v1) == Some((8000, 1, 64, 144L)))
+  }
+
+  test("mp3Header: padding bit lengthens the frame by one byte") {
+    // same CBR frame with the padding bit set → 418-byte frames
+    val b = mp3Frames(Array(0xff, 0xfb, 0x92, 0x40), 418, 2)
+    assert(Multimodal.mp3Header(b) == Some((44100, 2, 128, 2 * 1152 * 1000L / 44100)))
+  }
+
+  test("mp3Header: VBR duration sums actual per-frame samples") {
+    // one 128 kbps frame then one 64 kbps frame (idx 5 → 0x50), both
+    // 44100 Hz stereo: durations add even though frame lengths differ
+    val f128 = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 1)
+    val f64 = mp3Frames(Array(0xff, 0xfb, 0x50, 0x40), 144 * 64000 / 44100, 1)
+    assert(Multimodal.mp3Header(f128 ++ f64) ==
+      Some((44100, 2, 128, 2 * 1152 * 1000L / 44100)))
+  }
+
+  test("mp3Header: corrupt / foreign / reserved-field payloads reject") {
+    assert(Multimodal.mp3Header(null) == None)
+    assert(Multimodal.mp3Header("not audio at all".getBytes) == None)
+    // reserved version (bits 01), free-format bitrate (idx 0), bad rate idx
+    assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xeb, 0x90, 0x40), 417, 1)) == None)
+    assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xfb, 0x00, 0x40), 417, 1)) == None)
+    assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xfb, 0x9c, 0x40), 417, 1)) == None)
+    // valid first frame, garbage where the second header must be
+    val good = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 1)
+    assert(Multimodal.mp3Header(good ++ "garbage!".getBytes) == None)
+    // a stray sync word inside arbitrary binary must not read as audio:
+    // ID3v2 size pointing past the payload rejects too
+    val lyingId3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(Multimodal.mp3Header(lyingId3 ++ good) == None)
+  }
+
+  test("withAudioMeta recognizes MP3 alongside WAV") {
+    import spark.implicits._
+    val mp3 = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 3)
+    val rows = Seq((1L, "audio", mp3)).toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("string").as("codec")))
+    val r = Multimodal.withAudioMeta(rows).select("meta.duration_ms", "meta.codec").head()
+    assert(r.getLong(0) == 3 * 1152 * 1000L / 44100 && r.getString(1) == "mp3")
+  }
+
   test("withAudioMeta fills duration/codec from real WAV headers only") {
     import spark.implicits._
     import javax.sound.sampled._
