@@ -104,8 +104,17 @@ object Components {
       if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
     }
     val ids = es.iterator.flatMap { case (u, v) => Iterator(u, v) }.toSet
-    spark.createDataset(ids.toSeq.map(id => (id, find(id)))).toDF("id", "component")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val mapped = ids.toSeq.map(id => (id, find(id)))
+    // re-distribute via parallelize with explicit slicing: a LocalRelation
+    // + repartition ships the whole mapping through task closures (the
+    // "task of very large size" warning at big-but-under-threshold pair
+    // sets) AND pays an exchange; pre-sliced parallelize ships each task
+    // only its ~20k-row slice and needs no shuffle. Worst case at the
+    // 1M-edge threshold (~2M ids) stays ~320 KiB/task.
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      mapped.size / 20000 + 1)
+    spark.createDataset(spark.sparkContext.parallelize(mapped, slices))
+      .toDF("id", "component")
   }
 
   /** Full dedup decision: given docs + near-dup pairs, pick the minimum id
