@@ -32,6 +32,23 @@ class GraphAlgoSpec extends SparkSpec {
     assert(out === Map("e" -> 0, "f" -> 1))
   }
 
+  test("bfs reach/closure release their per-level caches on return") {
+    // repeated invocations (bench loops, long-lived drivers) must not
+    // accumulate cached blocks: each call may leave at most its ONE
+    // materialized result relation behind (released when GC'd), never
+    // the per-level fragments (the old shape leaked depth+2 per call)
+    val seeds = Seq("a").toDF("node")
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    (1 to 3).foreach { _ =>
+      assert(Bfs.reach(edges, seeds, maxDepth = 3).count() == 4)
+      assert(Bfs.closure(edges, seeds, checkpointEvery = 2).count() == 4)
+    }
+    // 6 invocations × ≥3 levels would leak ≥18 fragments in the old
+    // shape; now only the 6 result checkpoints (at most) remain pending GC
+    assert(persisted() - before <= 6, s"cached RDDs grew: $before -> ${persisted()}")
+  }
+
   test("pagerank: ranks sum to 1 and sinks accumulate more than sources") {
     val ranks = PageRank.run(edges, iterations = 10)
       .as[(String, Double)].collect().toMap
