@@ -57,6 +57,19 @@ object Archives {
     new TarArchiveInputStream(in)
   }
 
+  /** Resolve a member name under the staging dir, refusing names that
+    * escape it (zip-slip/tar-slip: a crafted `../../` member must never
+    * write outside the staging root — archives are untrusted input). */
+  private def safeDest(stagingDir: String, member: String): File = {
+    val dest = new File(stagingDir, member)
+    val root = new File(stagingDir).getCanonicalPath
+    val canon = dest.getCanonicalPath
+    if (canon != root && !canon.startsWith(root + File.separator))
+      throw new IllegalArgumentException(
+        s"archive member escapes the staging dir (zip-slip): '$member'")
+    new File(canon) // normalized: in-root '..' segments resolved for the write
+  }
+
   private def copy(in: InputStream, dest: File): Unit = {
     dest.getParentFile.mkdirs()
     val out = new FileOutputStream(dest)
@@ -81,7 +94,7 @@ object Archives {
         while (it.hasMoreElements) {
           val e = it.nextElement()
           if (!e.isDirectory && select(e.getName)) {
-            val dest = new File(stagingDir, e.getName)
+            val dest = safeDest(stagingDir, e.getName)
             val in = zf.getInputStream(e)
             try copy(in, dest) finally in.close()
             staged += dest.getPath
@@ -94,7 +107,7 @@ object Archives {
         var e = in.getNextEntry
         while (e != null) {
           if (e.isFile && select(e.getName)) {
-            val dest = new File(stagingDir, e.getName)
+            val dest = safeDest(stagingDir, e.getName)
             copy(in, dest)
             staged += dest.getPath
           }

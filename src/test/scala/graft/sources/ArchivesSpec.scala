@@ -53,6 +53,39 @@ class ArchivesSpec extends SparkSpec {
     assert(scala.io.Source.fromFile(staged.head).mkString == "y\t2\n")
   }
 
+  test("zip-slip / tar-slip: '../' members refuse to escape the staging dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slip-spec-")
+    // crafted zip: a member whose path climbs out of the staging root
+    val zipPath = new File(dir.toFile, "evil.zip").getPath
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("../../escaped.txt"))
+    zos.write("pwned".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val e1 = intercept[IllegalArgumentException](
+      Archives.extractMembers(zipPath, s"$dir/out"))
+    assert(e1.getMessage.contains("zip-slip"))
+    assert(!new File(dir.toFile.getParentFile, "escaped.txt").exists())
+    // crafted tar: same traversal through the tar branch
+    val tarPath = new File(dir.toFile, "evil.tar").getPath
+    val tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.FileOutputStream(tarPath))
+    val entry = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("../../escaped2.txt")
+    val payload = "pwned".getBytes("UTF-8")
+    entry.setSize(payload.length)
+    tos.putArchiveEntry(entry); tos.write(payload); tos.closeArchiveEntry(); tos.close()
+    val e2 = intercept[IllegalArgumentException](
+      Archives.extractMembers(tarPath, s"$dir/out2"))
+    assert(e2.getMessage.contains("zip-slip"))
+    assert(!new File(dir.toFile.getParentFile, "escaped2.txt").exists())
+    // in-root relative segments that RESOLVE inside the staging dir stay fine
+    val okZip = new File(dir.toFile, "ok.zip").getPath
+    val z2 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(okZip))
+    z2.putNextEntry(new java.util.zip.ZipEntry("sub/../inside.txt"))
+    z2.write("fine".getBytes("UTF-8")); z2.closeEntry(); z2.close()
+    val staged = Archives.extractMembers(okZip, s"$dir/out3")
+    assert(scala.io.Source.fromFile(staged.head).mkString == "fine")
+  }
+
   test("stageArchives extracts many archives in parallel tasks") {
     val stagingRoot = java.nio.file.Files.createTempDirectory("graft-stage-spec-").toString
     val staged = Archives.stageArchives(spark,
