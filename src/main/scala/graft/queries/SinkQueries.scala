@@ -664,6 +664,75 @@ object SinkQueries {
        ORDER BY subject, snpeff_effect, object"""
   }
 
+  // ---------------------------------------------------------------- q162
+  /** O2 — a VERBATIM Automat production graph behind the hash gate:
+    * `UbergraphRedundant_Automat` (the one-graph-per-source production
+    * shape from graph_specs/automat-graph-spec.yaml, parsed from the
+    * reference YAML when present) built through the FULL
+    * `IngestPipeline.buildGraph` path — runSource state machine,
+    * content-hash versioning, merge, gzipped-jsonl bundle finalization
+    * (ref orion/graph_pipeline.py:240-346). The oracle re-reads the
+    * written bundle parts with DuckDB's `read_json_auto` and the Spark
+    * side re-derives the expected node/edge signature from the ORIGINAL
+    * fixture parse — so the whole build loop (parse → merge → dedup-on-id
+    * bundle write → gzip framing) sits behind the row/schema/hash gate. */
+  private val parsersRes = sys.env.getOrElse("SPARK_GRAFT_FIXTURES",
+    new java.io.File("src/test/resources/parsers").getAbsolutePath)
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val children = java.nio.file.Files.list(p)
+      try children.forEach(rmTree(_)) finally children.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private val q162: Q = (s, _) => {
+    val refYaml = new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml")
+    val spec =
+      if (refYaml.isFile)
+        graft.pipeline.GraphSpec.parseYaml(
+            java.nio.file.Files.readString(refYaml.toPath))
+          .find(_.graphId == "UbergraphRedundant_Automat")
+          .getOrElse(throw new IllegalStateException("UbergraphRedundant_Automat not in spec"))
+      else // equivalent inline spec when the reference tree is absent
+        graft.pipeline.GraphSpec("UbergraphRedundant_Automat", "Ubergraph",
+          Seq("neo4j"), conflation = false, Nil,
+          Seq(graft.pipeline.GraphSource("UbergraphRedundant")))
+    val out = s"$sinkOut/q162/bundle"
+    rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
+    val loader = new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "UbergraphRedundant"
+      def parse(sp: SparkSession) = {
+        val g = graft.parsers.Registry("UbergraphRedundant")(sp, s"$parsersRes/ubergraph")
+        (g.nodes, g.edges)
+      }
+      override def nodeNormMapDefined: Boolean = false
+    }
+    graft.pipeline.IngestPipeline.buildGraph(
+      s, spec, Map("UbergraphRedundant" -> loader), out)
+    // expected signature, re-derived from the ORIGINAL fixture parse
+    val parsed = graft.parsers.Registry("UbergraphRedundant")(s, s"$parsersRes/ubergraph")
+    val nodes = parsed.nodes.select(
+      lit("node").as("kind"), col("id").as("a"),
+      array_join(array_sort(col("category")), "|").as("b"), lit("").as("c"))
+    val edges = parsed.edges.select(
+      lit("edge").as("kind"), col(graft.model.Biolink.Subject).as("a"),
+      col(graft.model.Biolink.Predicate).as("b"),
+      col(graft.model.Biolink.Object_).as("c")).distinct()
+    nodes.unionByName(edges).orderBy("kind", "a", "b", "c")
+  }
+
+  private val q162Sql =
+    s"""WITH n AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/nodes.jsonl/part-*')),
+       e AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/edges.jsonl/part-*'))
+       SELECT kind, a, b, c FROM (
+         SELECT 'node' AS kind, id AS a,
+                array_to_string(list_sort(category), '|') AS b, '' AS c FROM n
+         UNION ALL
+         SELECT DISTINCT 'edge', subject, predicate, object FROM e)
+       ORDER BY kind, a, b, c"""
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
@@ -674,7 +743,8 @@ object SinkQueries {
     "q157_bundle_sidecars"    -> q157,
     "q158_neo4j_meta_kg"      -> q158,
     "q159_ingest_state_machine" -> q159,
-    "q161_snpeff_supplement"  -> q161)
+    "q161_snpeff_supplement"  -> q161,
+    "q162_automat_spec_build" -> q162)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -686,5 +756,6 @@ object SinkQueries {
     "q157_bundle_sidecars"    -> q157Sql,
     "q158_neo4j_meta_kg"      -> q158Sql,
     "q159_ingest_state_machine" -> q159Sql,
-    "q161_snpeff_supplement"  -> q161Sql)
+    "q161_snpeff_supplement"  -> q161Sql,
+    "q162_automat_spec_build" -> q162Sql)
 }
