@@ -99,6 +99,17 @@ object IngestPipeline {
     }
     val stages = scala.collection.mutable.ArrayBuffer[StageResult]()
     val (rawNodes, rawEdges) = loader.parse(spark)
+    // The parse result is consumed several times below (stage-memo counts,
+    // normalization's own pre/post/failure counts, the parquet write) —
+    // without a persist each consumer RE-RUNS the parse, and raw sources
+    // are the expensive kind (non-splittable archives, gz text, XML). One
+    // scan fills the cache; MEMORY_AND_DISK spills rather than evicting,
+    // so the shape holds for sources larger than executor memory. Released
+    // after the content-versioned parquet is written (the read-back serves
+    // every later consumer).
+    rawNodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rawEdges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     stages += StageResult("parsing", Stable.name,
       s"nodes=${rawNodes.count()} edges=${rawEdges.count()}")
 
@@ -132,6 +143,7 @@ object IngestPipeline {
     val outNodes = spark.read.parquet(s"$outDir/nodes.parquet")
     val outEdges = spark.read.parquet(s"$outDir/edges.parquet")
     IngestResult(loader.sourceId, buildVersion, outNodes, outEdges, stages.toSeq)
+    } finally { rawNodes.unpersist(); rawEdges.unpersist() }
   }
 
   /** D5 — sequence-variant supplementation stage
