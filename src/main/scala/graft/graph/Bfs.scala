@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** Collapses a plan into one eagerly-materialized relation with lineage
+    * truncated. Uses a RELIABLE `checkpoint()` when the context has a
+    * checkpoint dir configured — the result then survives executor loss,
+    * which a long-lived cluster job needs. Without one it falls back to
+    * `localCheckpoint()`, whose blocks live non-reliably on executors: an
+    * executor loss after return makes the result unrecomputable, and the
+    * cached blocks are released only when the driver GCs the returned
+    * DataFrame. Callers needing fault tolerance on a checkpoint-dir-less
+    * session must re-persist (or write out) the result themselves. */
+  private def collapse(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Minimum-depth reachability: returns (node, depth) for every node
     * reachable from `seeds` in at most `maxDepth` hops, where depth is
     * the BFS level (seeds are depth 0). `edges` must have `src`/`dst`
@@ -63,7 +76,7 @@ object Bfs {
     // loops, long-lived drivers) must not accumulate cached blocks; the
     // single checkpointed RDD is released by the ContextCleaner when the
     // returned DataFrame is garbage-collected
-    val result = fragments.reverse.reduce(_ unionByName _).localCheckpoint()
+    val result = collapse(fragments.reverse.reduce(_ unionByName _))
     fragments.foreach(_.unpersist())
     result
   }
@@ -76,7 +89,7 @@ object Bfs {
     * levels the logical plan itself (and the anti-join's ever-longer
     * union) becomes the bottleneck. Every `checkpointEvery` levels the
     * accumulated (node, depth) relation is collapsed into a single
-    * `localCheckpoint`ed relation, the fragments released, and the
+    * checkpointed relation (see [[collapse]]), the fragments released, and the
     * frontier re-derived from the collapsed relation — plan depth is
     * thereby bounded by `checkpointEvery` regardless of graph diameter,
     * which is what a 100 TB closure over a deep hierarchy needs. */
@@ -111,7 +124,7 @@ object Bfs {
         if (level % checkpointEvery == 0) {
           // collapse: one checkpointed relation replaces the fragment
           // union, truncating lineage AND bounding the anti-join's plan
-          val collapsed = acc.localCheckpoint() // eager — safe to release
+          val collapsed = collapse(acc) // eager — safe to release
           fragments.foreach(_.unpersist())
           fragments = Nil
           acc = collapsed
@@ -125,7 +138,7 @@ object Bfs {
     // final collapse: same release discipline as [[reach]] — fragments
     // since the last checkpoint are folded into one materialized relation
     // and unpersisted, so nothing stays pinned across invocations
-    val result = acc.localCheckpoint()
+    val result = collapse(acc)
     fragments.foreach(_.unpersist())
     result
   }

@@ -337,10 +337,13 @@ object Multimodal {
     * (syncsafe size) is skipped; the payload must then start at a valid
     * frame header (no blind sync scan: arbitrary binary with a stray
     * 0xFFEx must not read as audio). Every frame header is walked —
-    * duration is Σ samples/rate over ACTUAL frames, so VBR streams
-    * measure correctly — stopping at an ID3v1 'TAG' trailer or payload
-    * end; a malformed header mid-stream fails the whole parse (None)
-    * rather than guessing. Full PCM synthesis for MP3 stays at the
+    * duration is Σ samples/rate over ACTUAL frames (per-frame rate, so
+    * VBR and rate-switching streams measure correctly) — stopping at an
+    * ID3v1 'TAG' trailer, trailing non-frame bytes (APE tag, padding —
+    * tolerated once at least one frame decoded), or payload end. Bytes
+    * that still carry the frame-sync pattern but parse invalid are
+    * mid-stream corruption and fail the whole parse (None) rather than
+    * guessing. Full PCM synthesis for MP3 stays at the
     * [[decodeStub]] seam; headers and duration are what a scan-time
     * metadata pipeline needs. */
   def mp3Header(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
@@ -356,19 +359,26 @@ object Multimodal {
     }
     val first = mp3Frame(payload, i).getOrElse(return None)
     var frames = 0L
-    var totalSamples = 0L
+    var durationUs = 0L // Σ per-frame samples/rate — exact under VBR and rate switches
     var ok = true
     while (ok && i + 4 <= payload.length) {
       if (payload(i) == 'T' && payload(i + 1) == 'A' && payload(i + 2) == 'G') {
         ok = false // ID3v1 trailer: clean end of audio frames
       } else mp3Frame(payload, i) match {
-        case Some((bytes, samples, _, _, _)) =>
-          frames += 1; totalSamples += samples; i += bytes
-        case None => return None // mid-stream corruption: refuse, don't guess
+        case Some((bytes, samples, rate, _, _)) =>
+          frames += 1; durationUs += samples * 1000000L / rate; i += bytes
+        case None =>
+          // bytes still carrying the 11-bit frame sync are a corrupted
+          // frame header — refuse rather than mis-measure; anything else
+          // after a valid frame is a trailing tag (APE, LYRICS3) or
+          // padding and ends the walk cleanly like the 'TAG' trailer
+          if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xe0) == 0xe0)
+            return None
+          ok = false
       }
     }
     if (frames == 0) None
-    else Some((first._3, first._4, first._5, totalSamples * 1000L / first._3))
+    else Some((first._3, first._4, first._5, durationUs / 1000L))
   }
 
   /** REAL audio sample decode for RIFF/WAVE: the same chunk walk as

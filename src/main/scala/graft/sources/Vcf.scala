@@ -80,9 +80,20 @@ object Vcf {
     // SnpEff consumes RAW tab-separated text: CSV quoting/escaping of a
     // field containing a quote would corrupt the file, so quoting is
     // disabled outright and the only characters that could break the
-    // line/field framing are stripped defensively first
+    // line/field framing are stripped defensively first. Exception: the
+    // ID column is the join key matching supplemental edges back to
+    // variant nodes — rewriting it would silently drop every edge for
+    // that variant after the SnpEff round-trip, so a framed id fails the
+    // write loudly instead (raise_error evaluates inside the write job:
+    // no extra scan)
     val sanitized = vcf.columns.foldLeft(vcf)((df, c) =>
-      df.withColumn(c, regexp_replace(col(c), "[\\t\\r\\n]+", " ")))
+      if (c == "ID")
+        df.withColumn(c, when(col(c).rlike("[\\t\\r\\n]"),
+          raise_error(concat(
+            lit("variant id contains tab/CR/LF framing characters " +
+              "(would mutate the supplemental-edge join key): "), col(c))))
+          .otherwise(col(c)))
+      else df.withColumn(c, regexp_replace(col(c), "[\\t\\r\\n]+", " ")))
     sanitized.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").option("emptyValue", "")
       .option("quote", "\u0000").csv(tmp) // NUL quote char = quoting off

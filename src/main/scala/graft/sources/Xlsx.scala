@@ -46,21 +46,27 @@ object Xlsx {
     * actual inflated bytes, not `getSize`). */
   private[sources] val MaxPartBytes: Long = 64L << 20
 
-  /** Wraps a part stream and fails loud once more than [[MaxPartBytes]]
-    * inflate out of it — the untrusted-content guard for crafted ZIPs. */
-  private final class BoundedStream(in: java.io.InputStream, part: String)
+  /** Wraps a part stream and fails loud once more than `cap` bytes
+    * inflate out of it — the untrusted-content guard for crafted ZIPs.
+    * Counts EVERY consumption path (read and skip). */
+  private[sources] final class BoundedStream(in: java.io.InputStream, part: String,
+      cap: Long = MaxPartBytes)
       extends java.io.FilterInputStream(in) {
     private var count = 0L
     private def bump(n: Long): Unit = if (n > 0) {
       count += n
-      if (count > MaxPartBytes)
+      if (count > cap)
         throw new IllegalArgumentException(
-          s"$part: inflated size exceeds ${MaxPartBytes} bytes (zip-bomb guard)")
+          s"$part: inflated size exceeds ${cap} bytes (zip-bomb guard)")
     }
     override def read(): Int = { val b = super.read(); if (b >= 0) bump(1); b }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       val n = super.read(b, off, len); bump(n.toLong); n
     }
+    // skip() must count too: FilterInputStream.skip delegates straight to
+    // the inflater stream, so a parser path that skips would otherwise
+    // inflate past the cap uncounted
+    override def skip(n: Long): Long = { val s = super.skip(n); bump(s); s }
   }
 
   private def parsePart(zip: java.util.zip.ZipFile, name: String): Option[org.w3c.dom.Document] =

@@ -49,6 +49,31 @@ class GraphAlgoSpec extends SparkSpec {
     assert(persisted() - before <= 6, s"cached RDDs grew: $before -> ${persisted()}")
   }
 
+  test("bfs reach/closure use a RELIABLE checkpoint when a dir is configured") {
+    // with a checkpoint dir the collapsed result must be written there
+    // (survives executor loss — the localCheckpoint fallback doesn't),
+    // and results must be identical either way
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("bfs-ckpt-").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val seeds = Seq("a").toDF("node")
+      val viaReliable = Bfs.reach(edges, seeds, maxDepth = 3)
+        .as[(String, Int)].collect().toMap
+      assert(viaReliable === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+      assert(Bfs.closure(edges, seeds, checkpointEvery = 2)
+        .as[(String, Int)].collect().toMap === viaReliable)
+      def ckptFiles(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(ckptFiles).sum else 1L
+      assert(ckptFiles(new java.io.File(dir)) > 0, "no reliable checkpoint written")
+    } finally {
+      // the session is JVM-shared across suites and SparkContext has no
+      // public unset — restore via the private[spark] var's setter
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+    }
+  }
+
   test("pagerank: ranks sum to 1 and sinks accumulate more than sources") {
     val ranks = PageRank.run(edges, iterations = 10)
       .as[(String, Double)].collect().toMap

@@ -153,6 +153,27 @@ class MultimodalSpec extends SparkSpec {
       Some((44100, 2, 128, 2 * 1152 * 1000L / 44100)))
   }
 
+  test("mp3Header: duration uses each frame's OWN sample rate") {
+    // a 44100 Hz frame then a 32000 Hz frame (rate idx 10 → 0x98), both
+    // 128 kbps stereo: 1152/44100 + 1152/32000 = 26.122 + 36 ms = 62 ms,
+    // NOT 2·1152/44100 = 52 ms (the old first-frame-rate shortcut)
+    val f441 = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 1)
+    val f320 = mp3Frames(Array(0xff, 0xfb, 0x98, 0x40), 144 * 128000 / 32000, 1)
+    val expected = (1152L * 1000000L / 44100 + 1152L * 1000000L / 32000) / 1000L
+    assert(Multimodal.mp3Header(f441 ++ f320) == Some((44100, 2, 128, expected)))
+  }
+
+  test("mp3Header: trailing non-frame bytes after a valid frame are tolerated") {
+    // APE-tag-like / padding trailers (no frame sync) end the walk cleanly,
+    // like the ID3v1 'TAG' trailer — metadata for the decoded frames stands
+    val good = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 2)
+    val dur = 2 * 1152 * 1000L / 44100
+    assert(Multimodal.mp3Header(good ++ "APETAGEX0000".getBytes) ==
+      Some((44100, 2, 128, dur)))
+    assert(Multimodal.mp3Header(good ++ Array[Byte](0, 0, 0, 0, 0)) ==
+      Some((44100, 2, 128, dur)))
+  }
+
   test("mp3Header: corrupt / foreign / reserved-field payloads reject") {
     assert(Multimodal.mp3Header(null) == None)
     assert(Multimodal.mp3Header("not audio at all".getBytes) == None)
@@ -160,9 +181,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xeb, 0x90, 0x40), 417, 1)) == None)
     assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xfb, 0x00, 0x40), 417, 1)) == None)
     assert(Multimodal.mp3Header(mp3Frames(Array(0xff, 0xfb, 0x9c, 0x40), 417, 1)) == None)
-    // valid first frame, garbage where the second header must be
+    // valid first frame, then bytes that still carry the 11-bit frame
+    // sync but parse invalid: a corrupted header, not a trailer — refuse
     val good = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 1)
-    assert(Multimodal.mp3Header(good ++ "garbage!".getBytes) == None)
+    assert(Multimodal.mp3Header(good ++ mp3Frames(Array(0xff, 0xfb, 0x00, 0x40), 8, 1)) == None)
     // a stray sync word inside arbitrary binary must not read as audio:
     // ID3v2 size pointing past the payload rejects too
     val lyingId3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)

@@ -98,6 +98,26 @@ class VcfSpec extends SparkSpec {
     assert(e.getMessage.contains("ExitCode 3") && e.getMessage.contains("boom"))
   }
 
+  test("writeVcfFile: framing characters in the ID join key fail loud, elsewhere sanitize") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vcf-frames-").toString
+    // tab inside a non-key field (INFO) collapses to a space — framing kept
+    val ok = Seq(("1", "100", "CAID:CA1", "T", "C", "", "PASS", "note\twith tab"))
+      .toDF("CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO")
+    Vcf.writeVcfFile(ok, s"$dir/ok.vcf")
+    val lines = scala.io.Source.fromFile(s"$dir/ok.vcf").getLines().toSeq
+    assert(lines.size == 2 && lines(1).split("\t", -1).length == 8 &&
+      lines(1).contains("note with tab"))
+    // the same character in the ID would silently mutate the join key
+    // matching supplemental edges back to variant nodes — must refuse
+    val framed = Seq(("1", "100", "CAID:\tCA1", "T", "C", "", "PASS", ""))
+      .toDF("CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO")
+    val e = intercept[Exception](Vcf.writeVcfFile(framed, s"$dir/bad.vcf"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("framing")))
+  }
+
   test("full supplementation loop with stubbed SnpEff (D5)") {
     import spark.implicits._
     val nodes = spark.read.json(Seq(

@@ -168,6 +168,24 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("zip-bomb"))
   }
 
+  test("zip-bomb guard counts skip() consumption, not just read()") {
+    // FilterInputStream.skip delegates straight to the inflater stream,
+    // so an uncounted skip would inflate past the cap invisibly
+    def stream(cap: Long) = new Xlsx.BoundedStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](100)), "test-part", cap)
+    val s = stream(10)
+    val e = intercept[IllegalArgumentException](s.skip(50))
+    assert(e.getMessage.contains("zip-bomb"))
+    // mixed read-then-skip crosses the cap on the skip
+    val m = stream(10)
+    assert(m.read(new Array[Byte](8), 0, 8) == 8)
+    intercept[IllegalArgumentException](m.skip(8))
+    // under-cap consumption through either path stays silent
+    val u = stream(100)
+    assert(u.skip(40) == 40)
+    assert(u.read(new Array[Byte](40), 0, 40) == 40)
+  }
+
   test("crafted shared-string cells: non-integer and out-of-range indexes") {
     def sheetWith(cell: String): String =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
