@@ -687,50 +687,268 @@ object SinkQueries {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Rotation (q162): a DIFFERENT verbatim Automat graph sits behind this
+    * gate each round — the graph id comes from SPARK_GRAFT_AUTOMAT_GRAPH
+    * (default: this round's pick) and is recorded in the result signature
+    * via a `meta` row read back from graph-metadata.json, so the artifact
+    * self-documents which of the 23 production graphs was gated. Paired
+    * graphs (primary + OntologicalHierarchy `connected_edge_subset`)
+    * re-derive the secondary's OR-join edge filter and endpoint backfill
+    * independently of the GraphMerger implementation. */
+  private val automatGraphId =
+    sys.env.getOrElse("SPARK_GRAFT_AUTOMAT_GRAPH", "HumanGOA_Automat")
+
+  /** Automat source id → checked-in fixture dir (plain-file sources only;
+    * the Derby-seeded and renamed-fixture sources stay in
+    * AutomatSpecDrivenBuildSpec's staging, outside the rotation). */
+  private val automatFixtureDir = Map(
+    "BINDING-DB" -> "binding", "CAM-KP" -> "camkp", "COHD" -> "cohd",
+    "CTD" -> "ctd", "GenomeAllianceOrthologs" -> "alliance",
+    "GTEx" -> "gtex", "GtoPdb" -> "gtopdb", "GWASCatalog" -> "gwas",
+    "HGNC" -> "hgnc", "HMDB" -> "hmdb", "HumanGOA" -> "goa",
+    "MouseGOA" -> "goa", "IntAct" -> "intact", "OHD-Carolina" -> "ohd",
+    "OntologicalHierarchy" -> "ubergraph", "PANTHER" -> "panther",
+    "Reactome" -> "reactome", "STRING-DB-Human" -> "string",
+    "textminingkp" -> "tmkp", "UbergraphRedundant" -> "ubergraph",
+    "ViralProteome" -> "viralproteome")
+
+  private def automatParse(s: SparkSession, id: String) = {
+    val g = graft.parsers.Registry(id)(s, s"$parsersRes/${automatFixtureDir(id)}")
+    (g.nodes, g.edges)
+  }
+
   private val q162: Q = (s, _) => {
     val refYaml = new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml")
     val spec =
       if (refYaml.isFile)
         graft.pipeline.GraphSpec.parseYaml(
             java.nio.file.Files.readString(refYaml.toPath))
-          .find(_.graphId == "UbergraphRedundant_Automat")
-          .getOrElse(throw new IllegalStateException("UbergraphRedundant_Automat not in spec"))
+          .find(_.graphId == automatGraphId)
+          .getOrElse(throw new IllegalStateException(s"$automatGraphId not in spec"))
       else // equivalent inline spec when the reference tree is absent
-        graft.pipeline.GraphSpec("UbergraphRedundant_Automat", "Ubergraph",
-          Seq("neo4j"), conflation = false, Nil,
-          Seq(graft.pipeline.GraphSource("UbergraphRedundant")))
+        graft.pipeline.GraphSpec(automatGraphId, automatGraphId.stripSuffix("_Automat"),
+          Seq("neo4j"), conflation = false, Nil, Seq(
+            graft.pipeline.GraphSource(automatGraphId.stripSuffix("_Automat")),
+            graft.pipeline.GraphSource("OntologicalHierarchy",
+              mergeStrategy = "connected_edge_subset")))
     val out = s"$sinkOut/q162/bundle"
     rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
-    val loader = new graft.pipeline.IngestPipeline.SourceLoader {
-      val sourceId = "UbergraphRedundant"
-      def parse(sp: SparkSession) = {
-        val g = graft.parsers.Registry("UbergraphRedundant")(sp, s"$parsersRes/ubergraph")
-        (g.nodes, g.edges)
-      }
-      override def nodeNormMapDefined: Boolean = false
+    val loaders = spec.sources.map { src =>
+      src.id -> (new graft.pipeline.IngestPipeline.SourceLoader {
+        val sourceId = src.id
+        def parse(sp: SparkSession) = automatParse(sp, src.id)
+        override def nodeNormMapDefined: Boolean = false
+      }: graft.pipeline.IngestPipeline.SourceLoader)
+    }.toMap
+    graft.pipeline.IngestPipeline.buildGraph(s, spec, loaders, out)
+
+    // expected signature, re-derived from the ORIGINAL fixture parses with
+    // plain DataFrame ops (independent of GraphMerger/MergeEngine):
+    // nodes = primary parse ∪ backfilled endpoints of kept secondary edges;
+    // edges = primary ∪ OR-join-kept secondary, deduped on the composite
+    // merge key (subject/predicate/object/pks + qualifier columns)
+    import graft.model.Biolink
+    val primarySrc = spec.sources.filter(_.mergeStrategy == "default") match {
+      case Seq(one) => one
+      case more => throw new IllegalStateException(s"rotation expects 1 primary, got $more")
     }
-    graft.pipeline.IngestPipeline.buildGraph(
-      s, spec, Map("UbergraphRedundant" -> loader), out)
-    // expected signature, re-derived from the ORIGINAL fixture parse
-    val parsed = graft.parsers.Registry("UbergraphRedundant")(s, s"$parsersRes/ubergraph")
-    val nodes = parsed.nodes.select(
+    val (pn0, pe) = automatParse(s, primarySrc.id)
+    val pn = pn0.dropDuplicates("id")
+    def keyCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Seq(Biolink.Subject, Biolink.Predicate, Biolink.Object_) ++
+        df.columns.filter(c => c == Biolink.PrimaryKnowledgeSource || Biolink.isQualifier(c))
+    val (allNodes, allEdges) =
+      spec.sources.filter(_.mergeStrategy == "connected_edge_subset") match {
+        case Seq() => (pn, pe.dropDuplicates(keyCols(pe)))
+        case secs =>
+          val pIds = pn.select(col("id"))
+          val (backfills, kepts) = secs.map { sec =>
+            val (on0, oe) = automatParse(s, sec.id)
+            val kept = oe
+              .join(pIds.withColumnRenamed("id", "_sh"),
+                oe(Biolink.Subject) === col("_sh"), "left")
+              .join(pIds.withColumnRenamed("id", "_oh"),
+                oe(Biolink.Object_) === col("_oh"), "left")
+              .filter(col("_sh").isNotNull || col("_oh").isNotNull)
+              .drop("_sh", "_oh")
+            val missing = kept
+              .select(explode(array(col(Biolink.Subject), col(Biolink.Object_))).as("id"))
+              .distinct().join(pIds, Seq("id"), "left_anti")
+            val backfill = on0.dropDuplicates("id").join(missing, Seq("id"), "left_semi")
+            (backfill, kept)
+          }.unzip
+          val nodes = (pn +: backfills).reduce(_.unionByName(_, allowMissingColumns = true))
+            .dropDuplicates("id")
+          val edges0 = (pe +: kepts).reduce(_.unionByName(_, allowMissingColumns = true))
+          (nodes, edges0.dropDuplicates(keyCols(edges0)))
+      }
+    val nodeSig = allNodes.select(
       lit("node").as("kind"), col("id").as("a"),
-      array_join(array_sort(col("category")), "|").as("b"), lit("").as("c"))
-    val edges = parsed.edges.select(
-      lit("edge").as("kind"), col(graft.model.Biolink.Subject).as("a"),
-      col(graft.model.Biolink.Predicate).as("b"),
-      col(graft.model.Biolink.Object_).as("c")).distinct()
-    nodes.unionByName(edges).orderBy("kind", "a", "b", "c")
+      array_join(array_sort(col("category")), "|").as("b"),
+      lit("").as("c"), lit("").as("d"))
+    val edgeSig = allEdges.select(
+      lit("edge").as("kind"), col(Biolink.Subject).as("a"),
+      col(Biolink.Predicate).as("b"), col(Biolink.Object_).as("c"),
+      (if (allEdges.columns.contains(Biolink.PrimaryKnowledgeSource))
+        coalesce(col(Biolink.PrimaryKnowledgeSource), lit(""))
+      else lit("")).as("d")).distinct()
+    val metaSig = s.range(1).select(
+      lit("meta").as("kind"), lit("graph_id").as("a"),
+      lit(spec.graphId).as("b"), lit("").as("c"), lit("").as("d"))
+    nodeSig.unionByName(edgeSig).unionByName(metaSig)
+      .orderBy("kind", "a", "b", "c", "d")
   }
 
   private val q162Sql =
     s"""WITH n AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/nodes.jsonl/part-*')),
-       e AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/edges.jsonl/part-*'))
+       e AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/edges.jsonl/part-*')),
+       m AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/graph-metadata.json'))
+       SELECT kind, a, b, c, d FROM (
+         SELECT 'node' AS kind, id AS a,
+                array_to_string(list_sort(category), '|') AS b, '' AS c, '' AS d FROM n
+         UNION ALL
+         SELECT DISTINCT 'edge', subject, predicate, object,
+                coalesce(primary_knowledge_source, '') FROM e
+         UNION ALL
+         SELECT 'meta', 'graph_id', graph_id, '', '' FROM m)
+       ORDER BY kind, a, b, c, d"""
+
+  // ---------------------------------------------------------------- q163
+  /** O2 wide-merge — the multi-source robokop build shape behind the hash
+    * gate (ref orion/graph_pipeline.py:110-317 + kgx_file_merger.py:102-162):
+    * THREE sources through the FULL `IngestPipeline.buildGraph` path —
+    * a primary whose node+predicate normalization runs INSIDE the
+    * pipeline (strict unmapped-node drop, same-norm-id collapse,
+    * predicate remap/inversion/related_to-fallback, subclass self-loop
+    * removal, remove-unconnected; ref orion/ingest_pipeline.py:268-363),
+    * a second pre-normalized primary overlapping it (cross-source node
+    * property merge + composite-key edge merge), and a
+    * `connected_edge_subset` secondary (OR endpoint join + node backfill
+    * against the FROZEN primary id set; ref kgx_file_merger.py:127-162).
+    * The oracle re-reads the written gzipped bundle parts with DuckDB's
+    * own json parser; the Spark side is the hand-derived expected
+    * signature — each row annotated with the reference rule producing it,
+    * so any composition bug (missed drop, failed merge, wrong backfill)
+    * lands as a row/hash mismatch. */
+  private def q163Loaders: Map[String, graft.pipeline.IngestPipeline.SourceLoader] = {
+    import graft.normalize.Normalizer.{NodeNormEntry, PredicateNormEntry, nodeMapDf, predicateMapDf}
+    val alpha = new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "SrcAlpha"
+      def parse(sp: SparkSession) = {
+        import sp.implicits._
+        val nodes = sp.read.json((1 to 7).map(i =>
+          s"""{"id":"ALPHA:$i","name":"Alpha $i","category":["biolink:Gene"],"srcs":["alpha"]}""").toDS())
+        val edges = sp.read.json(Seq(
+          // two raw edges whose subjects normalize to the SAME id → one edge
+          """{"subject":"ALPHA:1","predicate":"affects_expression","object":"ALPHA:2"}""",
+          """{"subject":"ALPHA:3","predicate":"affects_expression","object":"ALPHA:2"}""",
+          // inverted predicate: stored flipped as NCBI:6 affected_by NCBI:4
+          """{"subject":"ALPHA:4","predicate":"RO:0002212","object":"ALPHA:6"}""",
+          // both endpoints normalize to NCBI:1 → subclass self-loop, removed
+          """{"subject":"ALPHA:1","predicate":"subClassOf","object":"ALPHA:3"}""",
+          // ALPHA:5 has no norm-map entry → strict edge drop
+          """{"subject":"ALPHA:2","predicate":"affects_expression","object":"ALPHA:5"}""",
+          // unmapped predicate → biolink:related_to fallback
+          """{"subject":"ALPHA:6","predicate":"custom_unmapped_rel","object":"ALPHA:2"}""").toDS())
+        (nodes, edges)
+      }
+      override def nodeNormMap(sp: SparkSession) = {
+        val ncbi1Clique = Seq("ALPHA:1", "ALPHA:3", "NCBI:1")
+        Some(nodeMapDf(sp, Seq(
+          NodeNormEntry("ALPHA:1", "NCBI:1", "Gene One", Seq("biolink:Gene"), ncbi1Clique, Some(85.0)),
+          NodeNormEntry("ALPHA:3", "NCBI:1", "Gene One", Seq("biolink:Gene"), ncbi1Clique, Some(85.0)),
+          NodeNormEntry("ALPHA:2", "NCBI:2", "Gene Two", Seq("biolink:Gene"), Seq("ALPHA:2", "NCBI:2"), Some(71.5)),
+          NodeNormEntry("ALPHA:4", "NCBI:4", "Gene Four", Seq("biolink:Gene"), Seq("ALPHA:4", "NCBI:4"), Some(64.0)),
+          NodeNormEntry("ALPHA:6", "NCBI:6", "Gene Six", Seq("biolink:Gene"), Seq("ALPHA:6", "NCBI:6"), Some(58.25)),
+          // normalizes fine but ends up edge-less → removed as unconnected
+          NodeNormEntry("ALPHA:7", "NCBI:9", "Gene Nine", Seq("biolink:Gene"), Seq("ALPHA:7", "NCBI:9"), None))))
+          // (no entry for ALPHA:5 → strict normalization failure)
+      }
+      override def predicateNormMap(sp: SparkSession) = Some(predicateMapDf(sp, Seq(
+        PredicateNormEntry("affects_expression", "biolink:affects"),
+        PredicateNormEntry("RO:0002212", "biolink:affected_by", inverted = true),
+        PredicateNormEntry("subClassOf", "biolink:subclass_of"))))
+    }
+    val beta = new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "SrcBeta"
+      override def nodeNormMapDefined = false // pre-normalized source
+      def parse(sp: SparkSession) = {
+        import sp.implicits._
+        val nodes = sp.read.json(Seq(
+          """{"id":"NCBI:2","name":"Gene Two","category":["biolink:Gene"],"srcs":["beta"]}""",
+          """{"id":"NCBI:7","name":"Gene Seven","category":["biolink:Gene"],"srcs":["beta"]}""").toDS())
+        val edges = sp.read.json(Seq(
+          // same composite key as SrcAlpha's normalized edge → cross-source merge
+          """{"subject":"NCBI:1","predicate":"biolink:affects","object":"NCBI:2","primary_knowledge_source":"infores:srcalpha"}""",
+          """{"subject":"NCBI:2","predicate":"biolink:affects","object":"NCBI:7","primary_knowledge_source":"infores:srcbeta"}""").toDS())
+        (nodes, edges)
+      }
+    }
+    val gamma = new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "SrcGamma"
+      override def nodeNormMapDefined = false
+      def parse(sp: SparkSession) = {
+        import sp.implicits._
+        val nodes = sp.read.json(Seq(
+          """{"id":"EXT:1","name":"Ext One","category":["biolink:ChemicalEntity"],"srcs":["gamma"]}""",
+          """{"id":"EXT:2","name":"Ext Two","category":["biolink:ChemicalEntity"],"srcs":["gamma"]}""",
+          """{"id":"EXT:9","name":"Ext Nine","category":["biolink:ChemicalEntity"],"srcs":["gamma"]}""",
+          // already in the primary graph → NOT backfilled (left_anti)
+          """{"id":"NCBI:7","name":"Gene Seven","category":["biolink:Gene"],"srcs":["gamma"]}""").toDS())
+        val edges = sp.read.json(Seq(
+          // subject in the primary id set → kept; EXT:1 backfilled
+          """{"subject":"NCBI:7","predicate":"biolink:affects","object":"EXT:1","primary_knowledge_source":"infores:srcgamma"}""",
+          // neither endpoint in the primary set → dropped, no backfill
+          """{"subject":"EXT:2","predicate":"biolink:affects","object":"EXT:9","primary_knowledge_source":"infores:srcgamma"}""",
+          // object in the primary set → kept; EXT:1 already backfilled (distinct)
+          """{"subject":"EXT:1","predicate":"biolink:related_to","object":"NCBI:1","primary_knowledge_source":"infores:srcgamma"}""").toDS())
+        (nodes, edges)
+      }
+    }
+    Map("SrcAlpha" -> alpha, "SrcBeta" -> beta, "SrcGamma" -> gamma)
+  }
+
+  private val q163: Q = (s, _) => {
+    import s.implicits._
+    val spec = graft.pipeline.GraphSpec("WideMerge_Robokop_Shape", "Wide merge",
+      Seq("jsonl"), conflation = false, Nil, Seq(
+        graft.pipeline.GraphSource("SrcAlpha"),
+        graft.pipeline.GraphSource("SrcBeta"),
+        graft.pipeline.GraphSource("SrcGamma", mergeStrategy = "connected_edge_subset")))
+    val out = s"$sinkOut/q163/bundle"
+    rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
+    graft.pipeline.IngestPipeline.buildGraph(s, spec, q163Loaders, out)
+    // expected signature, hand-derived row by row from the fixtures:
+    // nodes (id, sorted category, sorted contributing sources) —
+    // the srcs column IS the cross-source property-merge witness
+    Seq(
+      ("node", "EXT:1", "biolink:ChemicalEntity", "gamma"),  // backfilled endpoint of kept secondary edges
+      ("node", "NCBI:1", "biolink:Gene", "alpha"),           // ALPHA:1+ALPHA:3 same-norm-id collapse
+      ("node", "NCBI:2", "biolink:Gene", "alpha|beta"),      // cross-source node property merge
+      ("node", "NCBI:4", "biolink:Gene", "alpha"),
+      ("node", "NCBI:6", "biolink:Gene", "alpha"),
+      ("node", "NCBI:7", "biolink:Gene", "beta"),            // gamma's copy NOT backfilled → srcs stays beta
+      // dropped nodes: ALPHA:5 (strict norm failure), NCBI:9 (unconnected),
+      // EXT:2/EXT:9 (their edge had no primary endpoint)
+      ("edge", "EXT:1", "biolink:related_to", "NCBI:1"),     // secondary kept via object hit
+      ("edge", "NCBI:1", "biolink:affects", "NCBI:2"),       // 2 alpha raws + 1 beta row → ONE merged edge
+      ("edge", "NCBI:2", "biolink:affects", "NCBI:7"),
+      ("edge", "NCBI:6", "biolink:affected_by", "NCBI:4"),   // inverted predicate flipped endpoints
+      ("edge", "NCBI:6", "biolink:related_to", "NCBI:2"),    // unmapped predicate fallback
+      ("edge", "NCBI:7", "biolink:affects", "EXT:1")         // secondary kept via subject hit
+      // dropped edges: subclass self-loop, edge to unmapped ALPHA:5, EXT:2→EXT:9
+    ).toDF("kind", "a", "b", "c").orderBy("kind", "a", "b", "c")
+  }
+
+  private val q163Sql =
+    s"""WITH n AS (SELECT * FROM read_json_auto('$sinkOut/q163/bundle/nodes.jsonl/part-*')),
+       e AS (SELECT * FROM read_json_auto('$sinkOut/q163/bundle/edges.jsonl/part-*'))
        SELECT kind, a, b, c FROM (
          SELECT 'node' AS kind, id AS a,
-                array_to_string(list_sort(category), '|') AS b, '' AS c FROM n
+                array_to_string(list_sort(category), '|') AS b,
+                array_to_string(list_sort(srcs), '|') AS c FROM n
          UNION ALL
-         SELECT DISTINCT 'edge', subject, predicate, object FROM e)
+         SELECT 'edge', subject, predicate, object FROM e)
        ORDER BY kind, a, b, c"""
 
   val defs: Map[String, Q] = Map(
@@ -744,7 +962,8 @@ object SinkQueries {
     "q158_neo4j_meta_kg"      -> q158,
     "q159_ingest_state_machine" -> q159,
     "q161_snpeff_supplement"  -> q161,
-    "q162_automat_spec_build" -> q162)
+    "q162_automat_spec_build" -> q162,
+    "q163_wide_merge_build"   -> q163)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -757,5 +976,6 @@ object SinkQueries {
     "q158_neo4j_meta_kg"      -> q158Sql,
     "q159_ingest_state_machine" -> q159Sql,
     "q161_snpeff_supplement"  -> q161Sql,
-    "q162_automat_spec_build" -> q162Sql)
+    "q162_automat_spec_build" -> q162Sql,
+    "q163_wide_merge_build"   -> q163Sql)
 }

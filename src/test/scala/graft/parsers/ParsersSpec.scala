@@ -610,10 +610,11 @@ class ParsersSpec extends SparkSpec {
 
   test("UbergraphRedundant + OntologicalHierarchy: redundant tgz slices") {
     val red = Registry("UbergraphRedundant")(spark, s"$res/ubergraph")
-    assert(red.edges.count() == 2 && red.nodes.count() == 3)
+    assert(red.edges.count() == 3 && red.nodes.count() == 4)
     val oh = Registry("OntologicalHierarchy")(spark, s"$res/ubergraph")
-    assert(oh.edges.count() == 1)
-    assert(oh.edges.head().getAs[String]("predicate") == "rdfs:subClassOf")
+    assert(oh.edges.count() == 2) // UBERON:1→CL:0 and GO:0003674→GO:0008150
+    assert(oh.edges.select("predicate").distinct().head()
+      .getAs[String]("predicate") == "rdfs:subClassOf")
   }
 
   test("ClinGenDosageSensitivity: HI/TS fan-out, score negation, defaults") {

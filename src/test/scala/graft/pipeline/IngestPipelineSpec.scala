@@ -43,6 +43,48 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.buildVersion.length == 16)
   }
 
+  test("runSource materializes the raw parse exactly once per row (single-scan pin)") {
+    // the parse result feeds several consumers (stage-memo counts, the
+    // normalization joins and their stats counts, the parquet write);
+    // without the MEMORY_AND_DISK persist each consumer RE-RUNS the parse
+    // — for non-splittable archive/gz sources that multiplies ingest cost
+    // ~4×. This pins the single-scan property: an accumulator inside the
+    // parse lineage must fire exactly once per row even on the
+    // normalization branch (the heaviest consumer fan-out).
+    val scans = spark.sparkContext.longAccumulator("parse-scans")
+    val n = 64
+    val counting = new IngestPipeline.SourceLoader {
+      val sourceId = "SCANCOUNT"
+      def parse(s: SparkSession): (DataFrame, DataFrame) = {
+        import s.implicits._
+        // re-bind as method-locals so the map closures capture only these,
+        // not the loader/spec instance (Task not serializable otherwise)
+        val acc = scans
+        val nodes = s.range(1, n + 1).as[Long]
+          .map { i => acc.add(1); (s"RAW:$i", s"n$i") }
+          .toDF("id", "name")
+          .withColumn("category",
+            org.apache.spark.sql.functions.array(
+              org.apache.spark.sql.functions.lit("biolink:NamedThing")))
+        val edges = s.range(1, n).as[Long]
+          .map { i => acc.add(1); (s"RAW:$i", "raw:linked", s"RAW:${i + 1}") }
+          .toDF("subject", "predicate", "object")
+        (nodes, edges)
+      }
+      override def nodeNormMap(s: SparkSession): Option[DataFrame] =
+        Some(Normalizer.nodeMapDf(s, (1 to n).map(i =>
+          Normalizer.NodeNormEntry(s"RAW:$i", s"NORM:$i", s"name $i"))))
+      override def predicateNormMap(s: SparkSession): Option[DataFrame] =
+        Some(Normalizer.predicateMapDf(s,
+          Seq(Normalizer.PredicateNormEntry("raw:linked", "biolink:related_to"))))
+    }
+    val dir = Files.createTempDirectory("ingest_scan_once").toString
+    val r = IngestPipeline.runSource(spark, counting, dir)
+    assert(r.nodes.count() == n && r.edges.count() == n - 1)
+    assert(scans.value == 2L * n - 1,
+      s"raw parse re-ran: ${scans.value} row-materializations for ${2 * n - 1} rows")
+  }
+
   test("content-hash cache: second run skips all stages and reuses parquet") {
     val dir = Files.createTempDirectory("ingest_cache").toString
     val l = loader("CACHED", 1 to 7, normalized = true)
