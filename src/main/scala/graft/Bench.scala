@@ -79,6 +79,7 @@ object Bench {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    val sinkPlane = graft.queries.SinkQueries.defs.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up: codegen + shuffle files + page cache
@@ -100,8 +101,15 @@ object Bench {
         // iterations; steal slows some), and the tail dominates the total
         // so this is where the stability matters. min/max still land in
         // the artifact for variance audits.
+        // sink-plane queries (q151+) write real artifacts inside the
+        // measured action, so host disk contention is ADDITIVE one-sided
+        // noise — it stretched q157/q158/q159 together in the r13 run-3
+        // artifact while CPU probes were quiet. A regression slows every
+        // iteration; contention slows some. Min is the honest statistic
+        // there regardless of magnitude.
         val (headline, stat) =
-          if (times(iterations / 2) > 3.0) (times.head, "min")
+          if (sinkPlane.contains(name)) (times.head, "min")
+          else if (times(iterations / 2) > 3.0) (times.head, "min")
           else (times(iterations / 2), "median")
         (name, headline, times.head, times.last, stat, None: Option[String])
       } catch {
