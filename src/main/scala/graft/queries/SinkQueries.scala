@@ -754,9 +754,12 @@ object SinkQueries {
     }
     val (pn0, pe) = automatParse(s, primarySrc.id)
     val pn = pn0.dropDuplicates("id")
+    // the composite merge key: s/p/o + pks + qualifiers + the spec's
+    // custom edge-merging attributes (CTD_Automat splits on taxon)
     def keyCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
       Seq(Biolink.Subject, Biolink.Predicate, Biolink.Object_) ++
-        df.columns.filter(c => c == Biolink.PrimaryKnowledgeSource || Biolink.isQualifier(c))
+        df.columns.filter(c => c == Biolink.PrimaryKnowledgeSource ||
+          Biolink.isQualifier(c) || spec.edgeMergingAttributes.contains(c))
     val (allNodes, allEdges) =
       spec.sources.filter(_.mergeStrategy == "connected_edge_subset") match {
         case Seq() => (pn, pe.dropDuplicates(keyCols(pe)))
@@ -816,15 +819,18 @@ object SinkQueries {
   // ---------------------------------------------------------------- q163
   /** O2 wide-merge — the multi-source robokop build shape behind the hash
     * gate (ref orion/graph_pipeline.py:110-317 + kgx_file_merger.py:102-162):
-    * THREE sources through the FULL `IngestPipeline.buildGraph` path —
-    * a primary whose node+predicate normalization runs INSIDE the
-    * pipeline (strict unmapped-node drop, same-norm-id collapse,
-    * predicate remap/inversion/related_to-fallback, subclass self-loop
-    * removal, remove-unconnected; ref orion/ingest_pipeline.py:268-363),
-    * a second pre-normalized primary overlapping it (cross-source node
-    * property merge + composite-key edge merge), and a
-    * `connected_edge_subset` secondary (OR endpoint join + node backfill
-    * against the FROZEN primary id set; ref kgx_file_merger.py:127-162).
+    * FOUR sources — ALL THREE merge strategies — through the FULL
+    * `IngestPipeline.buildGraph` path: a primary whose node+predicate
+    * normalization runs INSIDE the pipeline (strict unmapped-node drop,
+    * same-norm-id collapse, predicate remap/inversion/related_to-fallback,
+    * subclass self-loop removal, remove-unconnected; ref
+    * orion/ingest_pipeline.py:268-363), a second pre-normalized primary
+    * overlapping it (cross-source node property merge + composite-key
+    * edge merge), a `connected_edge_subset` secondary (OR endpoint join +
+    * node backfill against the FROZEN primary id set; ref
+    * kgx_file_merger.py:127-162), and a `dont_merge` source (nodes join
+    * the property merge, edges append VERBATIM even on a key collision;
+    * ref kgx_file_merger.py:164-172).
     * The oracle re-reads the written gzipped bundle parts with DuckDB's
     * own json parser; the Spark side is the hand-derived expected
     * signature — each row annotated with the reference rule producing it,
@@ -905,7 +911,28 @@ object SinkQueries {
         (nodes, edges)
       }
     }
-    Map("SrcAlpha" -> alpha, "SrcBeta" -> beta, "SrcGamma" -> gamma)
+    // dont_merge (ref kgx_file_merger.py:164-172): nodes join the node
+    // property merge, edges append VERBATIM — even an edge whose composite
+    // key collides with a primary edge must appear as its own row
+    val delta = new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "SrcDelta"
+      override def nodeNormMapDefined = false
+      def parse(sp: SparkSession) = {
+        import sp.implicits._
+        val nodes = sp.read.json(Seq(
+          // overlaps the merged graph → property-merges (srcs gains delta)
+          """{"id":"NCBI:4","name":"Gene Four","category":["biolink:Gene"],"srcs":["delta"]}""",
+          """{"id":"DM:1","name":"DM One","category":["biolink:Pathway"],"srcs":["delta"]}""").toDS())
+        val edges = sp.read.json(Seq(
+          // same composite key as the merged NCBI:1→NCBI:2 edge — a default
+          // source would merge it; dont_merge must keep it as a second row
+          """{"subject":"NCBI:1","predicate":"biolink:affects","object":"NCBI:2","primary_knowledge_source":"infores:srcalpha"}""",
+          """{"subject":"DM:1","predicate":"biolink:has_participant","object":"NCBI:4","primary_knowledge_source":"infores:srcdelta"}""").toDS())
+        (nodes, edges)
+      }
+    }
+    Map("SrcAlpha" -> alpha, "SrcBeta" -> beta, "SrcGamma" -> gamma,
+      "SrcDelta" -> delta)
   }
 
   private val q163: Q = (s, _) => {
@@ -914,7 +941,8 @@ object SinkQueries {
       Seq("jsonl"), conflation = false, Nil, Seq(
         graft.pipeline.GraphSource("SrcAlpha"),
         graft.pipeline.GraphSource("SrcBeta"),
-        graft.pipeline.GraphSource("SrcGamma", mergeStrategy = "connected_edge_subset")))
+        graft.pipeline.GraphSource("SrcGamma", mergeStrategy = "connected_edge_subset"),
+        graft.pipeline.GraphSource("SrcDelta", mergeStrategy = "dont_merge")))
     val out = s"$sinkOut/q163/bundle"
     rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
     graft.pipeline.IngestPipeline.buildGraph(s, spec, q163Loaders, out)
@@ -922,16 +950,19 @@ object SinkQueries {
     // nodes (id, sorted category, sorted contributing sources) —
     // the srcs column IS the cross-source property-merge witness
     Seq(
+      ("node", "DM:1", "biolink:Pathway", "delta"),          // dont_merge node joins the node merge
       ("node", "EXT:1", "biolink:ChemicalEntity", "gamma"),  // backfilled endpoint of kept secondary edges
       ("node", "NCBI:1", "biolink:Gene", "alpha"),           // ALPHA:1+ALPHA:3 same-norm-id collapse
       ("node", "NCBI:2", "biolink:Gene", "alpha|beta"),      // cross-source node property merge
-      ("node", "NCBI:4", "biolink:Gene", "alpha"),
+      ("node", "NCBI:4", "biolink:Gene", "alpha|delta"),     // dont_merge node property-merges too
       ("node", "NCBI:6", "biolink:Gene", "alpha"),
       ("node", "NCBI:7", "biolink:Gene", "beta"),            // gamma's copy NOT backfilled → srcs stays beta
       // dropped nodes: ALPHA:5 (strict norm failure), NCBI:9 (unconnected),
       // EXT:2/EXT:9 (their edge had no primary endpoint)
+      ("edge", "DM:1", "biolink:has_participant", "NCBI:4"), // dont_merge edge appended
       ("edge", "EXT:1", "biolink:related_to", "NCBI:1"),     // secondary kept via object hit
       ("edge", "NCBI:1", "biolink:affects", "NCBI:2"),       // 2 alpha raws + 1 beta row → ONE merged edge
+      ("edge", "NCBI:1", "biolink:affects", "NCBI:2"),       // SrcDelta's same-key edge appends VERBATIM (dont_merge)
       ("edge", "NCBI:2", "biolink:affects", "NCBI:7"),
       ("edge", "NCBI:6", "biolink:affected_by", "NCBI:4"),   // inverted predicate flipped endpoints
       ("edge", "NCBI:6", "biolink:related_to", "NCBI:2"),    // unmapped predicate fallback
