@@ -717,21 +717,26 @@ object SinkQueries {
     (g.nodes, g.edges)
   }
 
-  private val q162: Q = (s, _) => {
+  /** Resolve an Automat graph id to its spec — the verbatim reference
+    * YAML when present, an equivalent inline paired spec otherwise. */
+  private[queries] def resolveAutomatSpec(graphId: String): graft.pipeline.GraphSpec = {
     val refYaml = new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml")
-    val spec =
-      if (refYaml.isFile)
-        graft.pipeline.GraphSpec.parseYaml(
-            java.nio.file.Files.readString(refYaml.toPath))
-          .find(_.graphId == automatGraphId)
-          .getOrElse(throw new IllegalStateException(s"$automatGraphId not in spec"))
-      else // equivalent inline spec when the reference tree is absent
-        graft.pipeline.GraphSpec(automatGraphId, automatGraphId.stripSuffix("_Automat"),
-          Seq("neo4j"), conflation = false, Nil, Seq(
-            graft.pipeline.GraphSource(automatGraphId.stripSuffix("_Automat")),
-            graft.pipeline.GraphSource("OntologicalHierarchy",
-              mergeStrategy = "connected_edge_subset")))
-    val out = s"$sinkOut/q162/bundle"
+    if (refYaml.isFile)
+      graft.pipeline.GraphSpec.parseYaml(
+          java.nio.file.Files.readString(refYaml.toPath))
+        .find(_.graphId == graphId)
+        .getOrElse(throw new IllegalStateException(s"$graphId not in spec"))
+    else // equivalent inline spec when the reference tree is absent
+      graft.pipeline.GraphSpec(graphId, graphId.stripSuffix("_Automat"),
+        Seq("neo4j"), conflation = false, Nil, Seq(
+          graft.pipeline.GraphSource(graphId.stripSuffix("_Automat")),
+          graft.pipeline.GraphSource("OntologicalHierarchy",
+            mergeStrategy = "connected_edge_subset")))
+  }
+
+  /** Build the graph through the FULL production pipeline into `out`. */
+  private[queries] def automatBuild(s: SparkSession,
+      spec: graft.pipeline.GraphSpec, out: String): Unit = {
     rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
     val loaders = spec.sources.map { src =>
       src.id -> (new graft.pipeline.IngestPipeline.SourceLoader {
@@ -741,12 +746,24 @@ object SinkQueries {
       }: graft.pipeline.IngestPipeline.SourceLoader)
     }.toMap
     graft.pipeline.IngestPipeline.buildGraph(s, spec, loaders, out)
+  }
 
-    // expected signature, re-derived from the ORIGINAL fixture parses with
-    // plain DataFrame ops (independent of GraphMerger/MergeEngine):
-    // nodes = primary parse ∪ backfilled endpoints of kept secondary edges;
-    // edges = primary ∪ OR-join-kept secondary, deduped on the composite
-    // merge key (subject/predicate/object/pks + qualifier columns)
+  private val q162: Q = (s, _) => {
+    val spec = resolveAutomatSpec(automatGraphId)
+    automatBuild(s, spec, s"$sinkOut/q162/bundle")
+    automatSignature(s, spec)
+  }
+
+  /** The expected signature, re-derived from the ORIGINAL fixture parses
+    * with plain DataFrame ops (independent of GraphMerger/MergeEngine):
+    * nodes = primary parse ∪ backfilled endpoints of kept secondary edges;
+    * edges = primary ∪ OR-join-kept secondary, deduped on the composite
+    * merge key (subject/predicate/object/pks + qualifier columns + the
+    * spec's edge-merging attributes). AutomatRotationSpec pins
+    * pipeline⟷derivation agreement for additional graphs beyond the one
+    * the q162 DuckDB gate carries each round. */
+  private[queries] def automatSignature(s: SparkSession,
+      spec: graft.pipeline.GraphSpec): DataFrame = {
     import graft.model.Biolink
     val primarySrc = spec.sources.filter(_.mergeStrategy == "default") match {
       case Seq(one) => one
