@@ -80,16 +80,18 @@ object Dedup {
         .select(col(idCol).as(side),
           minhashSignature(col(textCol), shingleN, k).as("sig"))
         .select(col(side),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+          // band index folded into the hash: one-long join key (see
+          // minhashLshImpl — same shape, same rationale)
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+            .as("bucket"))
     // A shared id (re-ingest: the doc is both in the batch and, stale, in
     // the index) must not produce the self-pair (X, X): the verifier below
     // sees ONE text per id (batch wins), so (X, X) would verify the batch
     // text against itself — jaccard 1.0 unconditionally — masking genuine
     // smaller-id corpus matches and firing even when batch-vs-corpus
     // similarity is below tau.
-    val cands = banded(batch, "id_a").join(banded(index, "id_b"), Seq("band", "bucket"))
+    val cands = banded(batch, "id_a").join(banded(index, "id_b"), Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // the verifier needs both sides' shingle sets in one table. The API
@@ -146,18 +148,28 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), shingleN, k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band hash = xxhash64 of the band's slice, exploded to (band, bucket, id).
-    // Only (band, bucket, id) enters the self-join — the wide signature is
-    // re-attached AFTER pair dedup so the shuffle carries 2 longs per row,
-    // not 2×k-element arrays (the candidate set can approach N² on a
-    // self-similar corpus; keep those rows narrow).
+    // band hash = xxhash64 of (band index, band slice), exploded to
+    // (bucket, id). Folding the band INTO the hash makes the join key ONE
+    // long instead of (band int, bucket long) — same collisions for equal
+    // slices within a band (what recall rides on), ~25% narrower shuffle
+    // rows on the self-join, which is the spilling stage of the 8M smoke
+    // (round-14 profile). Only (bucket, id) enters the self-join — the
+    // wide signature is re-attached AFTER pair dedup so the shuffle
+    // carries 2 longs per row, not 2×k-element arrays (the candidate set
+    // can approach N² on a self-similar corpus; keep those rows narrow).
     val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"))
+    // Deliberately a sort-merge join: SHUFFLE_HASH was tried for the 8M
+    // smoke's spilling stage and the build side CANNOT acquire memory at
+    // the 8 GiB/32-thread bench envelope ("Can't acquire 64 MiB to build
+    // hash relation") — SMJ's spillable sort is the graceful degradation,
+    // and on a real cluster per-partition input shrinks with partition
+    // count so the sort stays in memory.
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
