@@ -14,6 +14,18 @@ object QueryTimer {
     val sfDir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.1"
     val names = (if (sfIdx >= 0) args.take(sfIdx) ++ args.drop(sfIdx + 2) else args).toSeq
     require(names.nonEmpty, "pass at least one query name")
+    // fail BEFORE the Spark session boots: a typo'd name otherwise costs a
+    // 20 s JVM+session startup per attempt, and the close-match hint saves
+    // a grep (q158_neo4j_meta_kg vs q158_plater_metakg was a real miss)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, {
+      val hints = unknown.map { u =>
+        val near = SparkEntry.queries.keys
+          .filter(k => k.take(5) == u.take(5)).toSeq.sorted
+        s"$u (did you mean: ${if (near.nonEmpty) near.mkString(", ") else "?"})"
+      }
+      s"unknown queries: ${hints.mkString("; ")}"
+    })
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     for (name <- names) {
       val fn = SparkEntry.queries(name)
