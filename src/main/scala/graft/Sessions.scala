@@ -14,6 +14,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (Bfs.collapse when a checkpoint dir is set)
+      // are otherwise never deleted: with this on, the ContextCleaner
+      // removes a checkpoint's files once its RDD is garbage-collected,
+      // so long-lived drivers don't accrete checkpoint dirs (intermediate
+      // collapses are additionally deleted eagerly — see Bfs.closure)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")

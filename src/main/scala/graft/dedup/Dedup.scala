@@ -57,11 +57,14 @@ object Dedup {
     * scale-critical shape of LSH dedup at 100 TB: a new batch probed
     * against the banded-minhash INDEX of the already-ingested corpus,
     * never a corpus self-join. The corpus side reduces to its
-    * (band, bucket, id) index — at scale a persisted table maintained
-    * per ingest — so per-batch work is one equi-join of the batch's
-    * bands against that index plus the exact verify on candidates;
-    * historical text is never rescanned, and the index grows by the
-    * batch's bands afterwards (append-only).
+    * (bucket, id) index — the band index is FOLDED into the bucket hash
+    * (one-long join key; see minhashLshImpl), so a persisted index
+    * table maintained per ingest has two columns, and any index
+    * persisted under the pre-fold (band, bucket, id) layout is
+    * append-incompatible and must be rebuilt. Per-batch work is one
+    * equi-join of the batch's buckets against that index plus the exact
+    * verify on candidates; historical text is never rescanned, and the
+    * index grows by the batch's buckets afterwards (append-only).
     *
     * Returns one row per batch document that near-duplicates the corpus:
     * (id, dup_of, jaccard) with dup_of = the SMALLEST corpus id whose

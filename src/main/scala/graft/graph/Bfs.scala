@@ -38,6 +38,36 @@ object Bfs {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** The reliable-checkpoint file backing `df`, when [[collapse]] took the
+    * `checkpoint()` branch (None on the localCheckpoint fallback). The
+    * checkpointed RDD sits one or two map-dependencies below the
+    * DataFrame's execution RDD; checkpoint() is eager, so the file exists
+    * by the time this is called. */
+  private def checkpointFile(df: DataFrame): Option[String] = {
+    def find(rdd: org.apache.spark.rdd.RDD[_], depth: Int): Option[String] =
+      rdd.getCheckpointFile.orElse(
+        if (depth >= 4) None
+        else rdd.dependencies.iterator.map(d => find(d.rdd, depth + 1))
+          .collectFirst { case Some(p) => p })
+    find(df.queryExecution.toRdd, 0)
+  }
+
+  /** Best-effort recursive delete of a superseded checkpoint. Reliable
+    * checkpoint files are NOT removed by Spark when an RDD is rebased off
+    * them (and by the ContextCleaner only under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
+    * default) — without this, every collapse in a long [[closure]] run
+    * leaves a full copy of the accumulated relation on disk, unbounded
+    * checkpoint-dir growth on exactly the long-lived drivers reliable
+    * checkpointing targets. Deletion failure is a space leak, never a
+    * correctness problem, so errors are swallowed. */
+  private def deleteCheckpoint(df: DataFrame, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: Throwable => () }
+
   /** Minimum-depth reachability: returns (node, depth) for every node
     * reachable from `seeds` in at most `maxDepth` hops, where depth is
     * the BFS level (seeds are depth 0). `edges` must have `src`/`dst`
@@ -73,9 +103,12 @@ object Bfs {
     e.unpersist()
     // collapse the fragment union into ONE eagerly-materialized relation
     // and release every per-level fragment — repeated invocations (bench
-    // loops, long-lived drivers) must not accumulate cached blocks; the
-    // single checkpointed RDD is released by the ContextCleaner when the
-    // returned DataFrame is garbage-collected
+    // loops, long-lived drivers) must not accumulate cached blocks. The
+    // localCheckpoint fallback's blocks are released by the
+    // ContextCleaner when the returned DataFrame is garbage-collected; a
+    // RELIABLE checkpoint's files are caller-owned and cleaned on GC
+    // only under spark.cleaner.referenceTracking.cleanCheckpoints=true
+    // (graft.Sessions sets it)
     val result = collapse(fragments.reverse.reduce(_ unionByName _))
     fragments.foreach(_.unpersist())
     result
@@ -103,6 +136,7 @@ object Bfs {
     seed.count()
     var acc = seed.toDF() // union of all levels since the last collapse
     var fragments = List(seed) // cached fragments backing `acc`
+    var prevCkptFile: Option[String] = None // superseded reliable-checkpoint file
     var visited = seed.select(col("node"))
     var frontier = seed.select(col("node"))
     var level = 0
@@ -127,6 +161,12 @@ object Bfs {
           val collapsed = collapse(acc) // eager — safe to release
           fragments.foreach(_.unpersist())
           fragments = Nil
+          // the new checkpoint fully materialized its own copy, so the
+          // PREVIOUS collapse's files (read by every level since) are
+          // now unreferenced — delete them, or each collapse leaves a
+          // whole accumulated-relation copy on disk for the run's life
+          prevCkptFile.foreach(deleteCheckpoint(collapsed, _))
+          prevCkptFile = checkpointFile(collapsed)
           acc = collapsed
           visited = collapsed.select(col("node"))
           frontier = collapsed.filter(col("depth") === level)
@@ -137,9 +177,13 @@ object Bfs {
     e.unpersist()
     // final collapse: same release discipline as [[reach]] — fragments
     // since the last checkpoint are folded into one materialized relation
-    // and unpersisted, so nothing stays pinned across invocations
+    // and unpersisted, so nothing stays pinned across invocations. The
+    // final checkpoint's files are caller-owned (see [[reach]]); every
+    // intermediate collapse's files were deleted when superseded, and the
+    // LAST intermediate one is deleted here once the final copy exists.
     val result = collapse(acc)
     fragments.foreach(_.unpersist())
+    prevCkptFile.foreach(deleteCheckpoint(result, _))
     result
   }
 }

@@ -338,12 +338,13 @@ object Multimodal {
     * frame header (no blind sync scan: arbitrary binary with a stray
     * 0xFFEx must not read as audio). Every frame header is walked —
     * duration is Σ samples/rate over ACTUAL frames (per-frame rate, so
-    * VBR and rate-switching streams measure correctly) — stopping at an
-    * ID3v1 'TAG' trailer, trailing non-frame bytes (APE tag, padding —
-    * tolerated once at least one frame decoded), or payload end. Bytes
-    * that still carry the frame-sync pattern but parse invalid are
-    * mid-stream corruption and fail the whole parse (None) rather than
-    * guessing. Full PCM synthesis for MP3 stays at the
+    * VBR and rate-switching streams measure correctly) — stopping at a
+    * RECOGNIZED trailer (ID3v1 'TAG', 'APETAGEX', Lyrics3
+    * 'LYRICSBEGIN', or zero padding optionally followed by one of
+    * those) or payload end. ANY other post-frame residue — a corrupted
+    * sync pattern or unrecognized bytes (mid-stream corruption,
+    * truncation at a non-0xFF byte) — fails the whole parse (None)
+    * rather than silently understating the duration. Full PCM synthesis for MP3 stays at the
     * [[decodeStub]] seam; headers and duration are what a scan-time
     * metadata pipeline needs. */
   def mp3Header(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
@@ -368,17 +369,33 @@ object Multimodal {
         case Some((bytes, samples, rate, _, _)) =>
           frames += 1; durationUs += samples * 1000000L / rate; i += bytes
         case None =>
-          // bytes still carrying the 11-bit frame sync are a corrupted
-          // frame header — refuse rather than mis-measure; anything else
-          // after a valid frame is a trailing tag (APE, LYRICS3) or
-          // padding and ends the walk cleanly like the 'TAG' trailer
-          if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xe0) == 0xe0)
-            return None
+          // only RECOGNIZED trailers end the walk cleanly; everything
+          // else (corrupted sync, unknown residue) refuses — a stream
+          // truncated or corrupted mid-file must not read as a shorter
+          // valid one
+          if (!mp3Trailer(payload, i)) return None
           ok = false
       }
     }
+    // a sub-4-byte tail past the last frame gets the same rule: zero
+    // padding only (no recognized tag fits in < 4 bytes)
+    if (ok && i < payload.length && !mp3Trailer(payload, i)) return None
     if (frames == 0) None
     else Some((first._3, first._4, first._5, durationUs / 1000L))
+  }
+
+  /** Recognized post-frame trailer at `o`: zero padding (to payload end
+    * or up to a tag), then optionally ID3v1 ('TAG'), APE ('APETAGEX'),
+    * or Lyrics3 ('LYRICSBEGIN'). Anything else is residue that must
+    * fail the parse. */
+  private def mp3Trailer(p: Array[Byte], o: Int): Boolean = {
+    var i = o
+    while (i < p.length && p(i) == 0) i += 1
+    if (i == p.length) return true
+    def at(s: String): Boolean =
+      i + s.length <= p.length &&
+        s.indices.forall(j => p(i + j) == s.charAt(j).toByte)
+    at("TAG") || at("APETAGEX") || at("LYRICSBEGIN")
   }
 
   /** REAL audio sample decode for RIFF/WAVE: the same chunk walk as

@@ -1,11 +1,13 @@
 package graft.parsers
 
 /** Shared embedded-Derby fixture seeders for the SQL-sourced loaders
-  * (DrugCentral `dcdb`, PHAROS `tcrd`): used by their parser specs and
-  * by the spec-driven full-graph build, which needs the databases
-  * INSIDE a staged fixture tree so `Registry("DrugCentral")(spark, dir)`
-  * resolves them like any other source directory. Seeding is
-  * idempotent per directory (fresh dir per call site). */
+  * (DrugCentral `dcdb`, PHAROS `tcrd`): used by their parser specs, by
+  * the spec-driven full-graph builds, and by the q162 rotation staging
+  * (SinkQueries — which is why this lives in main scope), all of which
+  * need the databases INSIDE a staged fixture tree so
+  * `Registry("DrugCentral")(spark, dir)` resolves them like any other
+  * source directory. Seeding is idempotent per directory (fresh dir per
+  * call site). */
 object DerbyFixtures {
 
   /** Seed the DrugCentral fixture into `dir/dcdb`; returns the plain

@@ -696,11 +696,11 @@ object SinkQueries {
     * re-derive the secondary's OR-join edge filter and endpoint backfill
     * independently of the GraphMerger implementation. */
   private val automatGraphId =
-    sys.env.getOrElse("SPARK_GRAFT_AUTOMAT_GRAPH", "HumanGOA_Automat")
+    sys.env.getOrElse("SPARK_GRAFT_AUTOMAT_GRAPH", "STRING-DB_Automat")
 
-  /** Automat source id → checked-in fixture dir (plain-file sources only;
-    * the Derby-seeded and renamed-fixture sources stay in
-    * AutomatSpecDrivenBuildSpec's staging, outside the rotation). */
+  /** Automat source id → checked-in fixture dir (plain-file sources;
+    * the Derby-seeded and renamed-fixture sources stage through
+    * [[stagedAutomatDirs]], so all 23 production graphs are rotatable). */
   private val automatFixtureDir = Map(
     "BINDING-DB" -> "binding", "CAM-KP" -> "camkp", "COHD" -> "cohd",
     "CTD" -> "ctd", "GenomeAllianceOrthologs" -> "alliance",
@@ -712,8 +712,62 @@ object SinkQueries {
     "textminingkp" -> "tmkp", "UbergraphRedundant" -> "ubergraph",
     "ViralProteome" -> "viralproteome")
 
+  /** Rotation sources with no plain checked-in fixture dir, staged once
+    * per JVM (the bench re-runs q162 several times; the staged trees are
+    * read-only after seeding, so memoization is exactly equivalent):
+    * DrugCentral/PHAROS seed embedded Derby databases INSIDE a staged
+    * dir so `Registry(id)(spark, dir)` resolves them like any other
+    * source, and Hetio re-names its fixture to the registry's
+    * production filename — the same staging AutomatSpecDrivenBuildSpec
+    * uses, which brings the Derby-backed graphs into the rotation. */
+  private lazy val stagedAutomatDirs: Map[String, String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-q162-stage-").toString
+    val dc = s"$stage/DrugCentral"; Files.createDirectories(Paths.get(dc))
+    graft.parsers.DerbyFixtures.seedDrugCentral(dc)
+    val ph = s"$stage/PHAROS"; Files.createDirectories(Paths.get(ph))
+    graft.parsers.DerbyFixtures.seedPharos(ph)
+    val het = s"$stage/Hetio"; Files.createDirectories(Paths.get(het))
+    Files.copy(Paths.get(s"$parsersRes/hetio/hetionet-test.json.bz2"),
+      Paths.get(s"$het/hetionet-v1.0.json.bz2"), StandardCopyOption.REPLACE_EXISTING)
+    Map("DrugCentral" -> dc, "PHAROS" -> ph, "Hetio" -> het)
+  }
+
+  /** Resolved fixture dir for a rotation source id, or None when the id
+    * has neither a checked-in fixture nor a staged one. */
+  private def automatFixture(id: String): Option[String] =
+    automatFixtureDir.get(id).map(d => s"$parsersRes/$d")
+      .orElse(if (Set("DrugCentral", "PHAROS", "Hetio")(id))
+        Some(stagedAutomatDirs(id)) else None)
+
+  /** Every graph id whose sources are all fixture-resolvable — with the
+    * Derby/Hetio staging that is the full 23-graph production inventory
+    * when the reference YAML is present. */
+  private[queries] def rotatableGraphIds: Seq[String] = {
+    val refYaml = new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml")
+    if (!refYaml.isFile) Nil
+    else graft.pipeline.GraphSpec.parseYaml(
+        java.nio.file.Files.readString(refYaml.toPath))
+      .filter(_.sources.forall(s => automatFixture(s.id).isDefined))
+      .map(_.graphId)
+  }
+
+  /** Fails loud, up front, when SPARK_GRAFT_AUTOMAT_GRAPH names a graph
+    * with an unresolvable source — listing the rotatable graph ids
+    * instead of dying later with a bare NoSuchElementException. */
+  private[queries] def validateRotatable(spec: graft.pipeline.GraphSpec): Unit = {
+    val missing = spec.sources.map(_.id).filter(automatFixture(_).isEmpty)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graph ${spec.graphId} is not rotatable: no fixture for source(s) " +
+          s"${missing.mkString(", ")}; rotatable graphs: " +
+          rotatableGraphIds.sorted.mkString(", "))
+  }
+
   private def automatParse(s: SparkSession, id: String) = {
-    val g = graft.parsers.Registry(id)(s, s"$parsersRes/${automatFixtureDir(id)}")
+    val dir = automatFixture(id).getOrElse(throw new IllegalArgumentException(
+      s"no fixture for Automat source $id"))
+    val g = graft.parsers.Registry(id)(s, dir)
     (g.nodes, g.edges)
   }
 
@@ -750,6 +804,7 @@ object SinkQueries {
 
   private val q162: Q = (s, _) => {
     val spec = resolveAutomatSpec(automatGraphId)
+    validateRotatable(spec)
     automatBuild(s, spec, s"$sinkOut/q162/bundle")
     automatSignature(s, spec)
   }
@@ -821,7 +876,15 @@ object SinkQueries {
 
   private val q162Sql =
     s"""WITH n AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/nodes.jsonl/part-*')),
-       e AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/edges.jsonl/part-*')),
+       -- explicit columns (not read_json_auto): the bundle writer drops
+       -- null fields, so a rotation graph whose edges carry no
+       -- primary_knowledge_source would otherwise make this a binder
+       -- error instead of a comparison; with a forced schema the missing
+       -- key reads as NULL, mirroring the Spark side's column-presence
+       -- guard in automatSignature
+       e AS (SELECT * FROM read_json('$sinkOut/q162/bundle/edges.jsonl/part-*',
+             columns={subject:'VARCHAR', predicate:'VARCHAR', "object":'VARCHAR',
+                      primary_knowledge_source:'VARCHAR'})),
        m AS (SELECT * FROM read_json_auto('$sinkOut/q162/bundle/graph-metadata.json'))
        SELECT kind, a, b, c, d FROM (
          SELECT 'node' AS kind, id AS a,

@@ -74,6 +74,33 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("bfs closure deletes superseded intermediate reliable checkpoints") {
+    // every collapse used to leave a full copy of the accumulated relation
+    // in the checkpoint dir for the life of the driver (cleanCheckpoints
+    // defaults to false) — unbounded growth on exactly the long-lived
+    // jobs reliable checkpointing targets. A superseded collapse's files
+    // must be deleted once the next checkpoint materializes; only the
+    // final (caller-owned) checkpoint may remain.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("bfs-ckpt-gc-").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+      val out = Bfs.closure(chain, Seq("n0").toDF("node"), checkpointEvery = 1)
+      assert(out.count() == 7)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Nil
+        else if (f.getName.startsWith("rdd-")) Seq(f)
+        else f.listFiles().toSeq.flatMap(rddDirs)
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.size == 1,
+        s"expected only the final checkpoint, found: ${remaining.mkString(", ")}")
+    } finally {
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+    }
+  }
+
   test("pagerank: ranks sum to 1 and sinks accumulate more than sources") {
     val ranks = PageRank.run(edges, iterations = 10)
       .as[(String, Double)].collect().toMap

@@ -163,15 +163,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3Header(f441 ++ f320) == Some((44100, 2, 128, expected)))
   }
 
-  test("mp3Header: trailing non-frame bytes after a valid frame are tolerated") {
-    // APE-tag-like / padding trailers (no frame sync) end the walk cleanly,
-    // like the ID3v1 'TAG' trailer — metadata for the decoded frames stands
+  test("mp3Header: only RECOGNIZED trailers after a valid frame are tolerated") {
+    // APE / Lyrics3 / ID3v1 tags and zero padding (optionally leading
+    // into a tag) end the walk cleanly; metadata for the frames stands
     val good = mp3Frames(Array(0xff, 0xfb, 0x90, 0x40), 417, 2)
     val dur = 2 * 1152 * 1000L / 44100
     assert(Multimodal.mp3Header(good ++ "APETAGEX0000".getBytes) ==
       Some((44100, 2, 128, dur)))
+    assert(Multimodal.mp3Header(good ++ "LYRICSBEGINxyz".getBytes) ==
+      Some((44100, 2, 128, dur)))
     assert(Multimodal.mp3Header(good ++ Array[Byte](0, 0, 0, 0, 0)) ==
       Some((44100, 2, 128, dur)))
+    assert(Multimodal.mp3Header(good ++ Array[Byte](0, 0) ++ "APETAGEX".getBytes) ==
+      Some((44100, 2, 128, dur)))
+    // UNRECOGNIZED residue is mid-stream corruption or truncation at a
+    // non-0xFF byte — it must refuse, not silently understate duration
+    assert(Multimodal.mp3Header(good ++ "garbage!".getBytes) == None)
+    assert(Multimodal.mp3Header(good ++ Array[Byte](0, 0, 42)) == None)
   }
 
   test("mp3Header: corrupt / foreign / reserved-field payloads reject") {

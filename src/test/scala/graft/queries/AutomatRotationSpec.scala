@@ -44,7 +44,13 @@ class AutomatRotationSpec extends SparkSpec {
     df.collect().map(r => (0 until 5).map(r.getString).mkString(""))
       .sorted.toSeq
 
-  Seq("CTD_Automat", "GWASCatalog_Automat", "COHD_Automat").foreach { gid =>
+  // CTD/GWASCatalog/COHD pin the three plain-fixture shapes; DrugCentral
+  // and PHAROS vet the embedded-Derby (spark.read.jdbc-sourced) staging
+  // and Hetio the renamed-fixture staging for the rotation — these three
+  // were outside the rotation until round 15 (SinkQueries now stages
+  // them the way AutomatSpecDrivenBuildSpec always did)
+  Seq("CTD_Automat", "GWASCatalog_Automat", "COHD_Automat",
+      "DrugCentral_Automat", "PHAROS_Automat", "Hetio_Automat").foreach { gid =>
     test(s"$gid: full buildGraph bundle matches the independent derivation") {
       assume(new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml").isFile,
         "reference graph spec not available")
@@ -57,6 +63,27 @@ class AutomatRotationSpec extends SparkSpec {
         s"$gid bundle diverged from derivation:\n actual=${actual.take(8)}\n expected=${expected.take(8)}")
       assert(expected.size > 3, s"$gid: vacuous signature") // nodes+edges+meta
     }
+  }
+
+  test("a non-rotatable graph fails up front, naming the rotatable ids") {
+    // SPARK_GRAFT_AUTOMAT_GRAPH naming a spec with an unresolvable source
+    // must die with an actionable message, not a NoSuchElementException
+    // from deep inside the build
+    val bogus = graft.pipeline.GraphSpec("Bogus_Automat", "Bogus", Seq("neo4j"),
+      conflation = false, Nil, Seq(graft.pipeline.GraphSource("NoSuchSource")))
+    val e = intercept[IllegalArgumentException](SinkQueries.validateRotatable(bogus))
+    assert(e.getMessage.contains("NoSuchSource"))
+    assert(e.getMessage.contains("rotatable graphs"))
+  }
+
+  test("all 23 production Automat graphs are rotatable") {
+    assume(new java.io.File("/root/reference/graph_specs/automat-graph-spec.yaml").isFile,
+      "reference graph spec not available")
+    val ids = SinkQueries.rotatableGraphIds
+    assert(ids.size == 23, ids.sorted.mkString(", "))
+    // the round-15 additions: the Derby-backed and renamed-fixture graphs
+    Seq("DrugCentral_Automat", "PHAROS_Automat", "Hetio_Automat")
+      .foreach(g => assert(ids.contains(g), g))
   }
 
   test("CTD_Automat derivation honors the taxon edge-merging attribute") {
