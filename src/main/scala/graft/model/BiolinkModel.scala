@@ -191,6 +191,9 @@ object BiolinkModel {
   val predicateAncestors: Map[String, Seq[String]] = ancestorClosure(predicateParents)
 
   def isKnownCategory(c: String): Boolean = categoryParents.contains(c)
+  /** Every category the model knows (sorted) — the biolink-compliant set
+    * lenient normalization checks node types against. */
+  val knownCategories: Seq[String] = categoryParents.keys.toSeq.sorted
   def isKnownPredicate(p: String): Boolean = predicateParents.contains(p)
 
   /** Symmetric predicates (invert to themselves, biolink_utils.py:73-76). */

@@ -209,37 +209,74 @@ object Normalizer {
   /** N1/N2 — apply node normalization: rewrite id/name/category/
     * equivalent_identifiers/information_content from the map. strict drops
     * nodes that missed (ref orion/normalization.py:225-317); lenient keeps
-    * the original row. Splits (1→N) fan out to N nodes; duplicate normalized
-    * ids collapse (first wins, like dedup-on-write). */
+    * the original row AND enforces valid node types (ref :244-264): types
+    * the biolink model doesn't know move to a `custom_node_types`
+    * property, the valid ones are kept with NamedThing appended when
+    * absent, and a missing category reads as [NamedThing]. A mapped
+    * node's category still comes from the map, but `custom_node_types`
+    * computed from the ORIGINAL types is retained either way — the
+    * reference sets it before consulting the normalizer response. Splits
+    * (1→N) fan out to N nodes; duplicate normalized ids collapse (first
+    * wins, like dedup-on-write). */
   def normalizeNodes(nodes: DataFrame, nodeMap: DataFrame,
                      strict: Boolean = true): (DataFrame, NodeNormStats) = {
     val preNorm = nodes.count()
     val m = nodeMap.withColumnRenamed("name", "_norm_name")
     val joined = nodes.join(m, nodes("id") === m("orig_id"),
       if (strict) "inner" else "left")
-    val applied = joined
+    val origCat = nodes.columns.find(_ == "category").map(_ => nodes("category"))
+      .getOrElse(lit(null).cast("array<string>"))
+    val applied0 = joined
       .withColumn("_final_id", coalesce(col("norm_id"), col("id")))
       .withColumn("_final_name",
         coalesce(col("_norm_name"), nodes("name"),
           regexp_replace(col("_final_id"), "^.*:", "")))
-      .withColumn("_final_cat",
-        coalesce(m("category"), nodes.columns.find(_ == "category").map(_ => nodes("category"))
-          .getOrElse(lit(null)), array(lit(Biolink.NamedThing))))
+    val applied =
+      if (strict)
+        applied0.withColumn("_final_cat",
+          coalesce(m("category"), origCat, array(lit(Biolink.NamedThing))))
+      else {
+        val known = typedlit(graft.model.BiolinkModel.knownCategories)
+        val raw = coalesce(origCat, array(lit(Biolink.NamedThing)))
+        val valid = filter(raw, c => array_contains(known, c))
+        val invalid = filter(raw, c => not(array_contains(known, c)))
+        val enforced = array_distinct(
+          when(array_contains(valid, lit(Biolink.NamedThing)), valid)
+            .otherwise(concat(valid, array(lit(Biolink.NamedThing)))))
+        applied0
+          .withColumn("_final_cat", coalesce(m("category"), enforced))
+          .withColumn("_custom_types", when(size(invalid) > 0, invalid))
+      }
     val passthrough = nodes.columns
-      .filterNot(Set("id", "name", "category", "equivalent_identifiers", "information_content"))
+      .filterNot(Set("id", "name", "category", "equivalent_identifiers",
+        "information_content", "custom_node_types"))
       .map(c => nodes(c))
+    val extra = if (strict) Nil
+      else Seq(col("_custom_types").as("custom_node_types"))
     val out = applied.select(Seq(
         col("_final_id").as("id"),
         col("_final_name").as("name"),
         col("_final_cat").as("category"),
         m("equivalent_identifiers"),
-        m("information_content")) ++ passthrough: _*)
+        m("information_content")) ++ passthrough ++ extra: _*)
       .dropDuplicates("id")
     val postNorm = out.count()
-    val failures = if (strict)
-      nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
-    else 0L
+    // failures are REPORTED in both modes (the reference's
+    // failed_to_normalize list); only strict also drops the rows
+    val failures = nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
     (out, NodeNormStats(preNorm, postNorm, failures))
+  }
+
+  /** The reference's `node_normalization_lookup` in LENIENT mode: the
+    * node map PLUS identity entries for every node id the map missed
+    * (orion/normalization.py:299-301 — `lookup[id] = [id]` when strict
+    * is off) — so edges referencing a lenient-retained node survive on
+    * its original id instead of dropping at the endpoint join. */
+  def lenientEdgeMap(nodes: DataFrame, nodeMap: DataFrame): DataFrame = {
+    val identity = nodes.select(col("id").as("orig_id")).distinct()
+      .join(nodeMap.select(col("orig_id")), Seq("orig_id"), "left_anti")
+      .withColumn("norm_id", col("orig_id"))
+    nodeMap.select(col("orig_id"), col("norm_id")).unionByName(identity)
   }
 
   /** N5 — invert an edge: swap every *subject*↔*object* column

@@ -118,7 +118,13 @@ object IngestPipeline {
         val pm = loader.predicateNormMap(spark)
           .getOrElse(Normalizer.predicateMapDf(spark, Nil))
         val (nNodes, nodeStats) = Normalizer.normalizeNodes(rawNodes, nm, loader.strictNormalization)
-        val (nEdges, edgeStats) = Normalizer.normalizeEdges(rawEdges, nm, pm,
+        // lenient mode: failed nodes are KEPT, so edges referencing them
+        // must survive on the original ids — the reference's lookup maps
+        // a failed id to itself (orion/normalization.py:299-301)
+        val edgeMap =
+          if (loader.strictNormalization) nm
+          else Normalizer.lenientEdgeMap(rawNodes, nm)
+        val (nEdges, edgeStats) = Normalizer.normalizeEdges(rawEdges, edgeMap, pm,
           s"infores:${loader.sourceId.toLowerCase}")
         val finalNodes =
           if (loader.removeUnconnected) GraphMerger.removeUnconnectedNodes(nNodes, nEdges)

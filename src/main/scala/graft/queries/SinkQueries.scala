@@ -1062,6 +1062,146 @@ object SinkQueries {
          SELECT 'edge', subject, predicate, object FROM e)
        ORDER BY kind, a, b, c"""
 
+  // ---------------------------------------------------------------- q164
+  /** N2 LENIENT mode behind the bundle hash gate (ref
+    * orion/normalization.py:225-317 with strict_normalization off, wired
+    * through orion/kgx_file_normalizer.py:64-67): a single-source
+    * buildGraph whose loader sets `strictNormalization = false` —
+    * unmapped nodes are RETAINED with enforced categories (types the
+    * biolink model doesn't know move to `custom_node_types`, NamedThing
+    * appended, a missing category reads as [NamedThing]) and edges
+    * referencing them survive on the ORIGINAL ids (the reference's
+    * identity lookup entries, normalization.py:299-301). q163's strict
+    * pipeline drops the analogous node AND its edge (the ALPHA:5 rows),
+    * so this gate's oracle is exactly what distinguishes
+    * lenient-retained rows from strict drops. */
+  private def q164Loader: graft.pipeline.IngestPipeline.SourceLoader = {
+    import graft.normalize.Normalizer.{NodeNormEntry, PredicateNormEntry, nodeMapDf, predicateMapDf}
+    new graft.pipeline.IngestPipeline.SourceLoader {
+      val sourceId = "LenientSrc"
+      override def strictNormalization: Boolean = false
+      def parse(sp: SparkSession) = {
+        import sp.implicits._
+        val nodes = sp.read.json(Seq(
+          """{"id":"L:1","name":"One","category":["biolink:Gene"]}""",
+          """{"id":"L:2","name":"Two","category":["biolink:Gene"]}""",
+          // unmapped + an invalid type → kept, type moves to custom_node_types
+          """{"id":"L:3","name":"Lost Three","category":["custom:Weird","biolink:Gene"]}""",
+          // unmapped, no name, no category → name falls back to the id
+          // tail, category to [NamedThing]
+          """{"id":"L:4"}""",
+          // unmapped with an already-valid category → kept verbatim
+          """{"id":"L:5","name":"Lost Five","category":["biolink:NamedThing"]}""").toDS())
+        val edges = sp.read.json(Seq(
+          """{"subject":"L:1","predicate":"affects_expression","object":"L:2"}""",
+          // object unmapped → STRICT drops this edge; lenient keeps it on L:3
+          """{"subject":"L:2","predicate":"affects_expression","object":"L:3"}""",
+          // subject unmapped → survives as L:4 → NCBI:100
+          """{"subject":"L:4","predicate":"affects_expression","object":"L:1"}""",
+          // two lenient-retained endpoints + unmapped predicate → related_to
+          """{"subject":"L:5","predicate":"custom_unmapped_rel","object":"L:4"}""").toDS())
+        (nodes, edges)
+      }
+      override def nodeNormMap(sp: SparkSession) = Some(nodeMapDf(sp, Seq(
+        NodeNormEntry("L:1", "NCBI:100", "Gene Hundred", Seq("biolink:Gene"),
+          Seq("L:1", "NCBI:100"), Some(80.0)),
+        NodeNormEntry("L:2", "NCBI:200", "Gene TwoHundred", Seq("biolink:Gene"),
+          Seq("L:2", "NCBI:200"), Some(70.0)))))
+      override def predicateNormMap(sp: SparkSession) = Some(predicateMapDf(sp, Seq(
+        PredicateNormEntry("affects_expression", "biolink:affects"))))
+    }
+  }
+
+  private val q164: Q = (s, _) => {
+    import s.implicits._
+    val spec = graft.pipeline.GraphSpec("Lenient_Normalization_Shape", "Lenient",
+      Seq("jsonl"), conflation = false, Nil,
+      Seq(graft.pipeline.GraphSource("LenientSrc")))
+    val out = s"$sinkOut/q164/bundle"
+    rmTree(java.nio.file.Paths.get(out)) // fresh state machine per invocation
+    graft.pipeline.IngestPipeline.buildGraph(s, spec,
+      Map("LenientSrc" -> q164Loader), out)
+    // expected signature, hand-derived per reference rule:
+    // node rows (id, sorted categories, sorted custom types, name);
+    // edge rows (subject, predicate, object, pks)
+    Seq(
+      ("node", "L:3", "biolink:Gene|biolink:NamedThing", "custom:Weird", "Lost Three"),
+      ("node", "L:4", "biolink:NamedThing", "", "4"),
+      ("node", "L:5", "biolink:NamedThing", "", "Lost Five"),
+      ("node", "NCBI:100", "biolink:Gene", "", "Gene Hundred"),
+      ("node", "NCBI:200", "biolink:Gene", "", "Gene TwoHundred"),
+      ("edge", "L:4", "biolink:affects", "NCBI:100", "infores:lenientsrc"),
+      ("edge", "L:5", "biolink:related_to", "L:4", "infores:lenientsrc"),
+      ("edge", "NCBI:100", "biolink:affects", "NCBI:200", "infores:lenientsrc"),
+      ("edge", "NCBI:200", "biolink:affects", "L:3", "infores:lenientsrc")
+    ).toDF("kind", "a", "b", "c", "d").orderBy("kind", "a", "b", "c", "d")
+  }
+
+  private val q164Sql =
+    s"""WITH n AS (SELECT * FROM read_json('$sinkOut/q164/bundle/nodes.jsonl/part-*',
+         columns={id:'VARCHAR', name:'VARCHAR', category:'VARCHAR[]',
+                  custom_node_types:'VARCHAR[]'})),
+       e AS (SELECT * FROM read_json('$sinkOut/q164/bundle/edges.jsonl/part-*',
+         columns={subject:'VARCHAR', predicate:'VARCHAR', "object":'VARCHAR',
+                  primary_knowledge_source:'VARCHAR'}))
+       SELECT kind, a, b, c, d FROM (
+         SELECT 'node' AS kind, id AS a,
+                array_to_string(list_sort(category), '|') AS b,
+                coalesce(array_to_string(list_sort(custom_node_types), '|'), '') AS c,
+                name AS d FROM n
+         UNION ALL
+         SELECT 'edge', subject, predicate, object, primary_knowledge_source FROM e)
+       ORDER BY kind, a, b, c, d"""
+
+  // ---------------------------------------------------------------- q165
+  /** K4 sidecars — the Memgraph dump bundle's MANIFEST and INDEX-CYPHER
+    * files under the hash gate (ref orion/kgx_file_converter.py:56-87
+    * generates the index cypher; orion/memgraph_tools.py:8-48 the dump
+    * layout): `createMemgraphDump` writes memgraph_kgx_v1_nodes.csv +
+    * _indexes.cypher + per-predicate edge dirs + _manifest.txt (the edge
+    * cells and split are q153's gate; the nodes csv is q151/q152's).
+    * DuckDB reads BOTH text sidecars back byte-wise with ordinals
+    * (read_text + list_transform index lambda); the Spark side
+    * re-derives the expected lines from the ORIGINAL kgx fixture —
+    * category set → CREATE INDEX lines (NamedThing name index first,
+    * then per-label id indexes in sorted order), predicate set →
+    * manifest lines — so the sidecar generation rules, not just the
+    * bytes, sit under the gate. */
+  private val q165: Q = (s, _) => {
+    import s.implicits._
+    val nodes = kgxNodes(s)
+    val edges = kgxEdges(s)
+    val out = s"$sinkOut/q165/dump"
+    rmTree(java.nio.file.Paths.get(out)) // the dump is skip-if-exists; force fresh
+    GraphCsvSink.createMemgraphDump(nodes, edges, out,
+      graphId = "kgx", releaseVersion = "v1")
+    val labels = nodes.select(explode(col("category")).as("l")).distinct()
+      .orderBy("l").as[String].collect().toSeq
+    val cypherLines = "CREATE INDEX ON :`biolink:NamedThing`(name);" +:
+      labels.map(l => s"CREATE INDEX ON :`$l`(id);")
+    val manifestLines = edges
+      .select(regexp_replace(col("predicate"), ":", "_").as("p"))
+      .distinct().orderBy("p").as[String].collect().toSeq
+    (cypherLines.zipWithIndex.map { case (l, i) => ("cypher", (i + 1).toLong, l) } ++
+      manifestLines.zipWithIndex.map { case (l, i) => ("manifest", (i + 1).toLong, l) })
+      .toDF("kind", "rn", "line").orderBy("kind", "rn")
+  }
+
+  private val q165Sql =
+    s"""WITH cy AS (SELECT string_split(rtrim(content, chr(10)), chr(10)) AS ls
+         FROM read_text('$sinkOut/q165/dump/memgraph_kgx_v1_indexes.cypher')),
+       mf AS (SELECT string_split(rtrim(content, chr(10)), chr(10)) AS ls
+         FROM read_text('$sinkOut/q165/dump/memgraph_kgx_v1_edges.csv/_manifest.txt'))
+       SELECT kind, rn, line FROM (
+         SELECT 'cypher' AS kind,
+                unnest(list_transform(ls, (x, i) -> {'rn': CAST(i AS BIGINT), 'line': x}),
+                       recursive := true) FROM cy
+         UNION ALL
+         SELECT 'manifest',
+                unnest(list_transform(ls, (x, i) -> {'rn': CAST(i AS BIGINT), 'line': x}),
+                       recursive := true) FROM mf)
+       ORDER BY kind, rn"""
+
   val defs: Map[String, Q] = Map(
     "q151_neo4j_nodes_csv"    -> q151,
     "q152_neo4j_typed_headers" -> q152,
@@ -1074,7 +1214,9 @@ object SinkQueries {
     "q159_ingest_state_machine" -> q159,
     "q161_snpeff_supplement"  -> q161,
     "q162_automat_spec_build" -> q162,
-    "q163_wide_merge_build"   -> q163)
+    "q163_wide_merge_build"   -> q163,
+    "q164_lenient_norm_build" -> q164,
+    "q165_memgraph_sidecars"  -> q165)
 
   val oracles: Map[String, String] = Map(
     "q151_neo4j_nodes_csv"    -> q151Sql,
@@ -1088,5 +1230,7 @@ object SinkQueries {
     "q159_ingest_state_machine" -> q159Sql,
     "q161_snpeff_supplement"  -> q161Sql,
     "q162_automat_spec_build" -> q162Sql,
-    "q163_wide_merge_build"   -> q163Sql)
+    "q163_wide_merge_build"   -> q163Sql,
+    "q164_lenient_norm_build" -> q164Sql,
+    "q165_memgraph_sidecars"  -> q165Sql)
 }

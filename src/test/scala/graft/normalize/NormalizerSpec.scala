@@ -46,8 +46,50 @@ class NormalizerSpec extends SparkSpec {
       """{"id":"UNKNOWN:1","name":"mystery","category":["biolink:NamedThing"]}""")
     val (out, stats) = normalizeNodes(nodes, nodeMap, strict = false)
     assert(stats.postNorm == 2)
+    assert(stats.failures == 1) // reported (reference failed_to_normalize), not dropped
     val mystery = out.filter(col("id") === "UNKNOWN:1").head()
     assert(mystery.getAs[String]("name") == "mystery")
+  }
+
+  test("lenient normalization enforces valid node types (custom_node_types)") {
+    // ref orion/normalization.py:244-264: types the biolink model doesn't
+    // know move to custom_node_types, valid ones keep NamedThing appended,
+    // a missing category reads as [NamedThing]
+    val nodes = nodesDf(
+      """{"id":"UNKNOWN:1","name":"a","category":["custom:Weird","biolink:Gene"]}""",
+      """{"id":"UNKNOWN:2","name":"b"}""",
+      """{"id":"UNKNOWN:3","name":"c","category":["biolink:NamedThing"]}""")
+    val (out, _) = normalizeNodes(nodes, nodeMap, strict = false)
+    def arr(r: org.apache.spark.sql.Row, c: String): List[String] =
+      Option(r.getAs[scala.collection.Seq[String]](c)).map(_.toList).orNull
+    val byId = out.collect()
+      .map(r => r.getAs[String]("id") -> ((arr(r, "category"), arr(r, "custom_node_types"))))
+      .toMap
+    assert(byId("UNKNOWN:1") == ((List("biolink:Gene", "biolink:NamedThing"), List("custom:Weird"))))
+    assert(byId("UNKNOWN:2") == ((List("biolink:NamedThing"), null)))
+    assert(byId("UNKNOWN:3") == ((List("biolink:NamedThing"), null)))
+    // a MAPPED node's category comes from the map, but custom_node_types
+    // computed from the original types is retained (the reference sets it
+    // before consulting the normalizer response)
+    val mapped = nodesDf("""{"id":"HGNC:7432","name":"x","category":["custom:Odd"]}""")
+    val (mout, _) = normalizeNodes(mapped, nodeMap, strict = false)
+    val r = mout.head()
+    assert(r.getAs[String]("id") == "NCBIGene:4522")
+    assert(arr(r, "custom_node_types") == List("custom:Odd"))
+  }
+
+  test("lenientEdgeMap: failed nodes get identity entries so edges survive") {
+    val nodes = nodesDf(
+      """{"id":"HGNC:7432","name":"old","category":["biolink:Gene"]}""",
+      """{"id":"UNKNOWN:1","name":"mystery","category":["biolink:NamedThing"]}""")
+    val em = lenientEdgeMap(nodes, nodeMap)
+    val edges = nodesDf(
+      """{"subject":"HGNC:7432","predicate":"SEMMEDDB:CAUSES","object":"UNKNOWN:1"}""")
+    val (out, stats) = normalizeEdges(edges, em, predMap, "infores:test")
+    assert(stats.edgesFailedDueToNodes == 0)
+    val row = out.head()
+    assert(row.getAs[String]("subject") == "NCBIGene:4522")
+    assert(row.getAs[String]("object") == "UNKNOWN:1") // original id retained
   }
 
   test("node split: one curie to N normalized nodes") {
