@@ -3,18 +3,23 @@ package graft.tools
 import org.apache.spark.scheduler._
 import scala.collection.mutable
 
-/** Attributes the dedup-curve tail: runs the minhash smoke at two sizes
-  * with a stage-metrics listener and prints, per stage, wall time, task
-  * time, shuffle read/write and spill — so a superlinear point reads as
-  * "stage X spills" instead of a guess. Usage:
-  *   runMain graft.tools.DedupCurveProfile [nMillionsA] [nMillionsB]
-  * (defaults 4 and 8 — the last two curve points; per-stage ratios
-  * between the two runs localize the superlinearity).
+/** Attributes a dedup smoke's cost: runs the chosen engine's smoke at
+  * the given sizes with a stage-metrics listener and prints, per stage,
+  * wall time, task time, shuffle read/write and spill — so a superlinear
+  * point or a pin breach reads as "stage X spills" instead of a guess.
+  * Usage:
+  *   runMain graft.tools.DedupCurveProfile [minhash|winnow|substring] [nMillions...]
+  * (default engine minhash, default sizes 4 and 8 — the last two curve
+  * points; per-stage ratios between two runs localize superlinearity.
+  * `substring 1 1 1` gives the bench substring smoke's min-of-3 with
+  * per-stage attribution — the smoke whose driver-host runs breached
+  * their pin four rounds running with quiet CPU probes.)
   */
 object DedupCurveProfile {
 
   final case class StageAgg(name: String, var wallMs: Long = 0L,
-      var taskTimeMs: Long = 0L, var shuffleReadMB: Long = 0L,
+      var taskTimeMs: Long = 0L, var cpuTimeNs: Long = 0L,
+      var shuffleReadMB: Long = 0L,
       var shuffleWriteMB: Long = 0L, var spillMemMB: Long = 0L,
       var spillDiskMB: Long = 0L, var tasks: Int = 0, var maxTaskMs: Long = 0L)
 
@@ -29,6 +34,7 @@ object DedupCurveProfile {
       } yield c - s).getOrElse(0L)
       val m = si.taskMetrics
       agg.taskTimeMs += m.executorRunTime
+      agg.cpuTimeNs += m.executorCpuTime
       agg.shuffleReadMB += m.shuffleReadMetrics.totalBytesRead >> 20
       agg.shuffleWriteMB += m.shuffleWriteMetrics.bytesWritten >> 20
       agg.spillMemMB += m.memoryBytesSpilled >> 20
@@ -38,7 +44,15 @@ object DedupCurveProfile {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = (args.toSeq match {
+    val engines: Map[String, (org.apache.spark.sql.SparkSession, Long) => (Double, Long, Long)] =
+      Map("minhash" -> graft.DedupScaleSmoke.run,
+        "winnow" -> graft.DedupScaleSmoke.runWinnowing,
+        "substring" -> graft.DedupScaleSmoke.runSubstring)
+    val (engine, sizeArgs) = args.toSeq match {
+      case e +: rest if engines.contains(e) => (e, rest)
+      case other => ("minhash", other)
+    }
+    val sizes = (sizeArgs match {
       case Seq() => Seq(4.0, 8.0)
       case xs => xs.map(_.toDouble)
     }).map(m => (m * 1e6).toLong)
@@ -47,9 +61,9 @@ object DedupCurveProfile {
         .newSession()
       val listener = new MetricsListener
       spark.sparkContext.addSparkListener(listener)
-      val (secs, dups, expected) = graft.DedupScaleSmoke.run(spark, n)
+      val (secs, dups, expected) = engines(engine)(spark, n)
       spark.sparkContext.removeSparkListener(listener)
-      println(f"%n=== minhash smoke n=$n wall=$secs%.1f s dups=$dups/$expected ===")
+      println(f"%n=== $engine smoke n=$n wall=$secs%.1f s dups=$dups/$expected ===")
       println(f"${"stage"}%-92s ${"wall_s"}%8s ${"task_s"}%8s ${"shR_MB"}%8s ${"shW_MB"}%8s ${"spillM"}%8s ${"spillD"}%8s ${"tasks"}%6s")
       listener.stages.values.toSeq.sortBy(-_.taskTimeMs).take(18).foreach { a =>
         println(f"${a.name}%-92s ${a.wallMs / 1000.0}%8.1f ${a.taskTimeMs / 1000.0}%8.1f " +
@@ -57,6 +71,7 @@ object DedupCurveProfile {
       }
       val tot = listener.stages.values
       println(f"TOTAL task_s=${tot.map(_.taskTimeMs).sum / 1000.0}%.1f " +
+        f"task_cpu_s=${tot.map(_.cpuTimeNs).sum / 1e9}%.1f " +
         f"shuffle_read_MB=${tot.map(_.shuffleReadMB).sum} " +
         f"shuffle_write_MB=${tot.map(_.shuffleWriteMB).sum} " +
         f"spill_disk_MB=${tot.map(_.spillDiskMB).sum}")

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact guards are pure functions over the artifact JSON —
+  * pinned here so the no-clobber rule (BASELINE.md refused-artifacts
+  * ledger) stays mechanical: a future run must divert exactly when the
+  * ledger says one historically should have been diverted. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("json field extractors read the artifact's flat shape") {
+    val j = """{"value":149.3,"dedup_curve_sec":[18.4,32.5,62.3,128.5],""" +
+      """"substring_smoke_sec":27.1,"code_fingerprint":"abc123","neg":-2.0}"""
+    assert(Bench.jsonNum(j, "value").contains(149.3))
+    assert(Bench.jsonNum(j, "substring_smoke_sec").contains(27.1))
+    assert(Bench.jsonNum(j, "neg").contains(-2.0))
+    assert(Bench.jsonNum(j, "missing").isEmpty)
+    assert(Bench.jsonArr(j, "dedup_curve_sec") == Seq(18.4, 32.5, 62.3, 128.5))
+    assert(Bench.jsonArr(j, "missing").isEmpty)
+    assert(Bench.jsonStr(j, "code_fingerprint").contains("abc123"))
+  }
+
+  test("breachedSmokePin: the round-14 committed artifact holds every pin") {
+    val committed = """{"dedup_curve_sec":[18.4,32.5,62.3,128.5],""" +
+      """"substring_smoke_sec":27.1,"graph_curve_sec":[43.5,62.1,103.0]}"""
+    assert(Bench.breachedSmokePin(committed).isEmpty)
+  }
+
+  test("breachedSmokePin names the first breached pin") {
+    // substring wall past the BASELINE cap
+    val sub = """{"substring_smoke_sec":311.0,"dedup_curve_sec":[20.0,30.0,60.0,120.0]}"""
+    assert(Bench.breachedSmokePin(sub).exists(_.startsWith("substring_smoke_sec")))
+    // 8x curve ratio past the cap (20 -> 240 is 12x > 11)
+    val curve = """{"substring_smoke_sec":30.0,"dedup_curve_sec":[20.0,30.0,60.0,240.0]}"""
+    assert(Bench.breachedSmokePin(curve).exists(_.startsWith("dedup_curve 8x")))
+    // graph 4x ratio past the cap
+    val graph = """{"substring_smoke_sec":30.0,"dedup_curve_sec":[20.0,30.0,60.0,120.0],""" +
+      """"graph_curve_sec":[40.0,60.0,210.0]}"""
+    assert(Bench.breachedSmokePin(graph).exists(_.startsWith("graph_curve 4x")))
+  }
+
+  test("breachedSmokePin: crash / not-reached sentinels are not breaches") {
+    // -1 (crash), -2 (wrong count), -3 (not reached) are loud via
+    // smoke_errors/partial; the pin comparator must not read them as
+    // ratios or caps
+    val j = """{"substring_smoke_sec":-1.0,"dedup_curve_sec":[-3.0,-3.0,-3.0,-3.0],""" +
+      """"graph_curve_sec":[-1.0,-2.0,-3.0]}"""
+    assert(Bench.breachedSmokePin(j).isEmpty)
+  }
+
+  test("codeFingerprint is stable within a run and tracks the source tree") {
+    val a = Bench.codeFingerprint()
+    assert(a != "unknown") // tests run from the repo root
+    assert(a.length == 12 && a.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(Bench.codeFingerprint() == a)
+  }
+}
