@@ -278,7 +278,9 @@ object Bench {
       //      the r14 driver run was clean by probes yet carried a 116 s
       //      substring smoke against a 27 s committed same-code run; a
       //      same-code pin breach is environment, not regression, and
-      //      must not displace the cleaner measurement.
+      //      must not displace the cleaner measurement;
+      //  (3) a clean run whose smokes CRASHED (non-empty smoke_errors)
+      //      never displaces a clean artifact whose smokes all ran.
       // The rejected candidate is still written — to <benchOut>.rejected —
       // so nothing is lost.
       val path = java.nio.file.Paths.get(benchOut)
@@ -302,7 +304,15 @@ object Bench {
         else if (!candidateDirty && existingCleanFull) {
           val sameCode = codeFp != "unknown" &&
             jsonStr(existing, "code_fingerprint").contains(codeFp)
-          (breachedSmokePin(json), breachedSmokePin(existing)) match {
+          // a run whose smokes CRASHED (non-empty smoke_errors, sentinel
+          // smoke fields) must not displace an artifact whose smokes all
+          // ran — the r15 run-1 heap-OOM cascade wrote -1.0 over a
+          // committed full curve
+          val candidateCrashed = !json.contains("\"smoke_errors\":{}")
+          val existingCrashed = !existing.contains("\"smoke_errors\":{}")
+          if (candidateCrashed && !existingCrashed)
+            divert("smoke-crashed (clean artifact on disk has all smokes green)")
+          else (breachedSmokePin(json), breachedSmokePin(existing)) match {
             case (Some(pin), None) if sameCode =>
               divert(s"pin-breaching ($pin; same-code artifact on disk holds it)")
             case _ => path
@@ -334,9 +344,23 @@ object Bench {
     var smokeSpark: SparkSession = null
     def freshSmokeSession(): SparkSession = {
       if (smokeSpark != null) smokeSpark.stop()
-      smokeSpark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      // let GC + the stopped session's cleanup settle before the timer
-      (1 to 2).foreach { _ => System.gc(); Thread.sleep(2500) }
+      // A fatal executor error in a previous smoke (the r15 run-1 8M heap
+      // OOM) leaves dying task threads whose SparkUncaughtExceptionHandler
+      // stops whatever context is CURRENTLY active — in local mode that
+      // can be the replacement session, serially killing every later
+      // smoke ("Cannot call methods on a stopped SparkContext" across the
+      // whole tail). Clear the session registry, settle, and retry until
+      // the new context survives its settle window.
+      var attempts = 0
+      do {
+        if (smokeSpark != null && !smokeSpark.sparkContext.isStopped) smokeSpark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        smokeSpark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        // let GC + the stopped session's cleanup settle before the timer
+        (1 to 2).foreach { _ => System.gc(); Thread.sleep(2500) }
+        attempts += 1
+      } while (smokeSpark.sparkContext.isStopped && attempts < 4)
       smokeSpark
     }
     // fixed-scale dedup throughput as a SCALE CURVE (1M/2M/4M/8M docs

@@ -79,13 +79,20 @@ object DedupScaleSmoke {
     * spills ~7 GB per run (profiled round 14: 12 GB memory spill in the
     * band-join stage at 8M vs none at 2M) — a memory-ceiling artifact of
     * the harness, not algorithm superlinearity. ~100k docs/partition is
-    * the measured sweet spot on local[32]: it halves the 8M disk spill
-    * (7.1 → 3.4 GB) and cuts wall 121 → 110 s; doubling again to 50k/part
-    * leaves the residual sort-buffer spill unchanged and pays ~30% more
-    * task overhead (141.6 s measured). */
-  private def scalePartitions(spark: org.apache.spark.sql.SparkSession, n: Long): Unit =
+    * the measured sweet spot on local[32] up to 4M; at 8M+ the pressure
+    * point is no longer spill but the HEAP CEILING itself: 32 concurrent
+    * ~100k-doc sort/fetch tasks OOM'd the warm round-15 bench JVM (8 GiB,
+    * after the full query phase) while the same code ran green in a fresh
+    * JVM — so the tail drops to ~50k docs/partition (smaller tasks,
+    * bounded concurrent state; r14 measured the cost of 50k at ~15-30%
+    * wall, the price of not having a cliff). This is exactly the knob a
+    * real deployment turns: partition count grows with data so per-task
+    * memory stays constant. */
+  private def scalePartitions(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    val docsPerPartition = if (n >= 8000000L) 50000L else 100000L
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(32L, n / 100000L).toString)
+      math.max(32L, n / docsPerPartition).toString)
+  }
 
   def run(spark: org.apache.spark.sql.SparkSession, n: Long): (Double, Long, Long) = {
     scalePartitions(spark, n)
