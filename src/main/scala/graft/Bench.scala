@@ -54,9 +54,20 @@ object Bench {
     ("\"" + java.util.regex.Pattern.quote(key) + "\":\"([^\"]*)\"").r
       .findFirstMatchIn(json).map(_.group(1))
 
+  /** True when any smoke in `json` crashed, returned a wrong count, or
+    * never ran: a non-empty `smoke_errors` map, or a negative sentinel in
+    * any smoke field (-1 crash, -2 wrong count, -3 not reached).
+    * `robokop_build_sec` is excluded — it is legitimately -1.0 when the
+    * parser fixtures aren't on disk. */
+  private[graft] def smokesCrashed(json: String): Boolean =
+    !json.contains("\"smoke_errors\":{}") ||
+      (jsonArr(json, "dedup_curve_sec") ++ jsonArr(json, "graph_curve_sec") ++
+        Seq("winnow_smoke_sec", "substring_smoke_sec", "merge_smoke_sec")
+          .flatMap(jsonNum(json, _))).exists(_ < 0)
+
   /** Names the first BASELINE smoke pin `json` breaches, if any. Crash /
     * not-reached sentinels (negative values) are never a breach — they
-    * are loud on their own through `smoke_errors` / `partial`. */
+    * are caught by [[smokesCrashed]] instead. */
   private[graft] def breachedSmokePin(json: String): Option[String] = {
     def ratio(xs: Seq[Double], i: Int): Option[Double] =
       if (xs.length > i && xs.head > 0 && xs(i) > 0) Some(xs(i) / xs.head) else None
@@ -304,16 +315,19 @@ object Bench {
         else if (!candidateDirty && existingCleanFull) {
           val sameCode = codeFp != "unknown" &&
             jsonStr(existing, "code_fingerprint").contains(codeFp)
-          // a run whose smokes CRASHED (non-empty smoke_errors, sentinel
-          // smoke fields) must not displace an artifact whose smokes all
-          // ran — the r15 run-1 heap-OOM cascade wrote -1.0 over a
-          // committed full curve
-          val candidateCrashed = !json.contains("\"smoke_errors\":{}")
-          val existingCrashed = !existing.contains("\"smoke_errors\":{}")
+          // a run whose smokes CRASHED (non-empty smoke_errors OR a
+          // negative sentinel in any smoke field — a -2.0 wrong-count
+          // leaves smoke_errors empty) must not displace an artifact
+          // whose smokes all ran — the r15 run-1 heap-OOM cascade wrote
+          // -1.0 over a committed full curve
+          val candidateCrashed = smokesCrashed(json)
+          val existingCrashed = smokesCrashed(existing)
           if (candidateCrashed && !existingCrashed)
             divert("smoke-crashed (clean artifact on disk has all smokes green)")
           else (breachedSmokePin(json), breachedSmokePin(existing)) match {
-            case (Some(pin), None) if sameCode =>
+            // pin-diversion only defers to an artifact whose smokes all
+            // RAN — a complete pin-breaching run beats a crashed one
+            case (Some(pin), None) if sameCode && !existingCrashed =>
               divert(s"pin-breaching ($pin; same-code artifact on disk holds it)")
             case _ => path
           }

@@ -218,14 +218,32 @@ object Normalizer {
     * reference sets it before consulting the normalizer response. Splits
     * (1→N) fan out to N nodes; duplicate normalized ids collapse (first
     * wins, like dedup-on-write). */
-  def normalizeNodes(nodes: DataFrame, nodeMap: DataFrame,
+  def normalizeNodes(rawNodes: DataFrame, nodeMap: DataFrame,
                      strict: Boolean = true): (DataFrame, NodeNormStats) = {
+    // the reference strips newline characters from every top-level string
+    // property of every node, in BOTH modes, BEFORE consulting the
+    // normalizer response (orion/normalization.py:235-242 vs :280) —
+    // so ORIGINAL properties are stripped, while map-supplied names/ids
+    // pass through untouched; string columns only, arrays untouched,
+    // like the `isinstance(value, str)` guard
+    val nodes = rawNodes.select(rawNodes.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        regexp_replace(col(f.name), "\n", "").as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
     val preNorm = nodes.count()
     val m = nodeMap.withColumnRenamed("name", "_norm_name")
     val joined = nodes.join(m, nodes("id") === m("orig_id"),
       if (strict) "inner" else "left")
     val origCat = nodes.columns.find(_ == "category").map(_ => nodes("category"))
       .getOrElse(lit(null).cast("array<string>"))
+    // a pre-existing custom_node_types property is PRESERVED (the
+    // reference only assigns it when invalid types exist and never
+    // deletes it, normalization.py:250-253)
+    val hasCustom = nodes.columns.contains("custom_node_types")
+    val preCustom =
+      if (hasCustom) nodes("custom_node_types")
+      else lit(null).cast("array<string>")
     val applied0 = joined
       .withColumn("_final_id", coalesce(col("norm_id"), col("id")))
       .withColumn("_final_name",
@@ -245,14 +263,19 @@ object Normalizer {
             .otherwise(concat(valid, array(lit(Biolink.NamedThing)))))
         applied0
           .withColumn("_final_cat", coalesce(m("category"), enforced))
-          .withColumn("_custom_types", when(size(invalid) > 0, invalid))
+          // overwrite when invalid types exist, keep the input's
+          // pre-existing value otherwise
+          .withColumn("_custom_types",
+            coalesce(when(size(invalid) > 0, invalid), preCustom))
       }
     val passthrough = nodes.columns
       .filterNot(Set("id", "name", "category", "equivalent_identifiers",
         "information_content", "custom_node_types"))
       .map(c => nodes(c))
-    val extra = if (strict) Nil
-      else Seq(col("_custom_types").as("custom_node_types"))
+    val extra =
+      if (!strict) Seq(col("_custom_types").as("custom_node_types"))
+      else if (hasCustom) Seq(preCustom.as("custom_node_types"))
+      else Nil
     val out = applied.select(Seq(
         col("_final_id").as("id"),
         col("_final_name").as("name"),

@@ -184,7 +184,17 @@ object IngestPipeline {
           val subjectIdentity = suppEdgesRaw
             .select(col(graft.model.Biolink.Subject).as("orig_id")).distinct()
             .withColumn("norm_id", col("orig_id"))
-          val edgeMap = nm.select(col("orig_id"), col("norm_id")).unionByName(subjectIdentity)
+          // lenient mode keeps failed SUPPLEMENTAL nodes too, so their
+          // edges need the same identity entries as the main path —
+          // otherwise a supp edge whose OBJECT missed the map drops while
+          // its lenient-retained node dangles. distinct() because the
+          // subject identities can coincide with lenient identity rows
+          // (both map an id to itself) and a duplicate map row would
+          // duplicate every edge it joins.
+          val baseMap =
+            if (loader.strictNormalization) nm.select(col("orig_id"), col("norm_id"))
+            else Normalizer.lenientEdgeMap(suppNodesRaw, nm)
+          val edgeMap = baseMap.unionByName(subjectIdentity).distinct()
           val (se, seStats) = Normalizer.normalizeEdges(suppEdgesRaw, edgeMap, pm,
             Vcf.snpEffProvenance)
           (sn, se,

@@ -733,12 +733,20 @@ object SinkQueries {
     Map("DrugCentral" -> dc, "PHAROS" -> ph, "Hetio" -> het)
   }
 
-  /** Resolved fixture dir for a rotation source id, or None when the id
-    * has neither a checked-in fixture nor a staged one. */
+  private val stagedSourceIds = Set("DrugCentral", "PHAROS", "Hetio")
+
+  /** Pure membership test — no staging side effects, so the validation /
+    * rotatable-listing paths can run even when staging itself would fail
+    * (the error message must never be replaced by a seeding exception). */
+  private def fixtureResolvable(id: String): Boolean =
+    automatFixtureDir.contains(id) || stagedSourceIds(id)
+
+  /** Resolved fixture dir for a rotation source id (forces the staging
+    * for Derby/Hetio sources), or None when the id has neither a
+    * checked-in fixture nor a staged one. */
   private def automatFixture(id: String): Option[String] =
     automatFixtureDir.get(id).map(d => s"$parsersRes/$d")
-      .orElse(if (Set("DrugCentral", "PHAROS", "Hetio")(id))
-        Some(stagedAutomatDirs(id)) else None)
+      .orElse(if (stagedSourceIds(id)) Some(stagedAutomatDirs(id)) else None)
 
   /** Every graph id whose sources are all fixture-resolvable — with the
     * Derby/Hetio staging that is the full 23-graph production inventory
@@ -748,7 +756,7 @@ object SinkQueries {
     if (!refYaml.isFile) Nil
     else graft.pipeline.GraphSpec.parseYaml(
         java.nio.file.Files.readString(refYaml.toPath))
-      .filter(_.sources.forall(s => automatFixture(s.id).isDefined))
+      .filter(_.sources.forall(s => fixtureResolvable(s.id)))
       .map(_.graphId)
   }
 
@@ -756,7 +764,7 @@ object SinkQueries {
     * with an unresolvable source — listing the rotatable graph ids
     * instead of dying later with a bare NoSuchElementException. */
   private[queries] def validateRotatable(spec: graft.pipeline.GraphSpec): Unit = {
-    val missing = spec.sources.map(_.id).filter(automatFixture(_).isEmpty)
+    val missing = spec.sources.map(_.id).filterNot(fixtureResolvable)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"graph ${spec.graphId} is not rotatable: no fixture for source(s) " +

@@ -48,6 +48,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.breachedSmokePin(j).isEmpty)
   }
 
+  test("smokesCrashed: errors map, negative sentinels, and the robokop exception") {
+    // non-empty smoke_errors
+    assert(Bench.smokesCrashed("""{"smoke_errors":{"merge":"boom"},"dedup_curve_sec":[1.0,2.0,3.0,4.0]}"""))
+    // a -2.0 wrong-count sentinel leaves smoke_errors EMPTY — it must
+    // still read as crashed (it breaches no pin and would otherwise
+    // clobber a green artifact)
+    assert(Bench.smokesCrashed("""{"smoke_errors":{},"dedup_curve_sec":[18.0,32.0,62.0,-2.0]}"""))
+    assert(Bench.smokesCrashed("""{"smoke_errors":{},"dedup_curve_sec":[18.0,32.0,62.0,120.0],"substring_smoke_sec":-1.0}"""))
+    // robokop_build_sec -1.0 is a legitimate fixtures-absent marker
+    assert(!Bench.smokesCrashed("""{"smoke_errors":{},"robokop_build_sec":-1.0,"dedup_curve_sec":[18.0,32.0,62.0,120.0],"substring_smoke_sec":27.0,"winnow_smoke_sec":15.0,"merge_smoke_sec":32.0}"""))
+  }
+
   test("codeFingerprint is stable within a run and tracks the source tree") {
     val a = Bench.codeFingerprint()
     assert(a != "unknown") // tests run from the repo root

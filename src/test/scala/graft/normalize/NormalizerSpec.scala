@@ -78,6 +78,44 @@ class NormalizerSpec extends SparkSpec {
     assert(arr(r, "custom_node_types") == List("custom:Odd"))
   }
 
+  test("node normalization strips newlines from string properties (both modes)") {
+    // ref orion/normalization.py:235-242: every top-level string value of
+    // every node loses its newline characters; arrays are untouched
+    val nodes = nodesDf(
+      """{"id":"HGNC:7432","name":"line1\nline2","category":["biolink:Gene"],"note":"a\nb\nc"}""",
+      """{"id":"UNKNOWN:1","name":"my\nstery","category":["biolink:NamedThing"]}""")
+    val (strictOut, _) = normalizeNodes(nodes, nodeMap, strict = true)
+    assert(strictOut.filter(col("id") === "NCBIGene:4522").head()
+      .getAs[String]("note") == "abc")
+    val (lenientOut, _) = normalizeNodes(nodes, nodeMap, strict = false)
+    assert(lenientOut.filter(col("id") === "UNKNOWN:1").head()
+      .getAs[String]("name") == "mystery")
+    // the strip runs BEFORE the normalizer response is applied (ref order
+    // :235-242 then :280): a MAP-supplied name keeps its newline
+    val oddMap = nodeMapDf(spark, Seq(
+      NodeNormEntry("X:1", "Y:1", "two\nlines", Seq("biolink:Gene"), Seq("X:1"), None)))
+    val (mapped, _) = normalizeNodes(nodesDf("""{"id":"X:1","name":"orig"}"""), oddMap)
+    assert(mapped.head().getAs[String]("name") == "two\nlines")
+  }
+
+  test("pre-existing custom_node_types survives re-normalization") {
+    // ref normalization.py:250-253 only ASSIGNS custom_node_types when
+    // invalid types exist and never deletes the property — re-normalizing
+    // a file that already carries it must not drop or null it
+    val nodes = nodesDf(
+      """{"id":"HGNC:7432","name":"x","category":["biolink:Gene"],"custom_node_types":["old:Type"]}""",
+      """{"id":"UNKNOWN:1","name":"y","category":["biolink:NamedThing"],"custom_node_types":["old:Kept"]}""",
+      """{"id":"UNKNOWN:2","name":"z","category":["bad:New"],"custom_node_types":["old:Gone"]}""")
+    def custom(df: org.apache.spark.sql.DataFrame, id: String): List[String] =
+      Option(df.filter(col("id") === id).head()
+        .getAs[scala.collection.Seq[String]]("custom_node_types")).map(_.toList).orNull
+    val (strictOut, _) = normalizeNodes(nodes, nodeMap, strict = true)
+    assert(custom(strictOut, "NCBIGene:4522") == List("old:Type"))
+    val (lenientOut, _) = normalizeNodes(nodes, nodeMap, strict = false)
+    assert(custom(lenientOut, "UNKNOWN:1") == List("old:Kept")) // all valid → kept
+    assert(custom(lenientOut, "UNKNOWN:2") == List("bad:New")) // invalid → overwritten
+  }
+
   test("lenientEdgeMap: failed nodes get identity entries so edges survive") {
     val nodes = nodesDf(
       """{"id":"HGNC:7432","name":"old","category":["biolink:Gene"]}""",
