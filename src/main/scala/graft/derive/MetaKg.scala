@@ -68,26 +68,48 @@ object MetaKg {
     * status for every knowledge source (deprecated/invalid → warnings). */
   def qc(nodes: DataFrame, edges: DataFrame,
          infores: graft.model.InforesCatalog = graft.model.InforesCatalog.vendored): QcResults = {
-    val nodeCount = nodes.count()
-    val edgeCount = edges.count()
-    val typeCounts = nodeTypes(nodes).select(col("node_type").as("t"))
-      .groupBy("t").count().collect()
-      .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
+    // ONE aggregation pass per side instead of six (count / type counts /
+    // predicate counts / pks counts / aggregator-ks set as separate
+    // actions): every fact family explodes into tagged (kind, item) rows
+    // and a single groupBy counts them all — the driver-side regrouping
+    // below reproduces the former per-family maps exactly (incl. the
+    // "(none)" null spellings). Each action is a full scan at production
+    // scale, so the fusion is 6 scans → 2.
+    def fact(kind: String, item: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(kind).as("kind"), item.cast("string").as("item"))
+    val emptyFacts = typedlit(Seq.empty[(String, String)])
+      .cast("array<struct<kind:string,item:string>>")
+    val nodeFacts = nodes.select(explode(concat(
+        array(fact("_cnt", lit(null))),
+        coalesce(transform(graft.model.BiolinkModel.leafCategories(col("category")),
+          t => fact("type", t)), emptyFacts))).as("f"))
+      .groupBy(col("f.kind").as("kind"), col("f.item").as("item")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val hasPks = edges.columns.contains(Biolink.PrimaryKnowledgeSource)
+    val hasAggKs = edges.columns.contains(Biolink.AggregatorKnowledgeSources)
+    val edgeFacts = edges.select(explode(concat(Seq(
+        array(fact("_cnt", lit(null)), fact("pred", col(Biolink.Predicate)))) ++
+        (if (hasPks) Seq(array(fact("pks", col(Biolink.PrimaryKnowledgeSource)))) else Nil) ++
+        (if (hasAggKs) Seq(coalesce(transform(col(Biolink.AggregatorKnowledgeSources),
+          k => fact("aggks", k)), emptyFacts)) else Nil): _*)).as("f"))
+      .groupBy(col("f.kind").as("kind"), col("f.item").as("item")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodeCount = nodeFacts.collect { case ("_cnt", _, n) => n }.sum
+    val edgeCount = edgeFacts.collect { case ("_cnt", _, n) => n }.sum
+    val typeCounts = nodeFacts.collect {
+      case ("type", t, n) => Option(t).getOrElse("(none)") -> n
+    }.toMap
     val invalidTypes = typeCounts.keys
       .filterNot(t => t == "(none)" || graft.model.BiolinkModel.isKnownCategory(t))
       .toSeq.sorted
-    val predCounts = edges.groupBy(Biolink.Predicate).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val predCounts = edgeFacts.collect { case ("pred", p, n) => p -> n }.toMap
     val pksCounts =
-      if (edges.columns.contains(Biolink.PrimaryKnowledgeSource))
-        edges.groupBy(Biolink.PrimaryKnowledgeSource).count().collect()
-          .map(r => Option(r.getString(0)).getOrElse("(none)") -> r.getLong(1)).toMap
+      if (hasPks) edgeFacts.collect {
+        case ("pks", k, n) => Option(k).getOrElse("(none)") -> n
+      }.toMap
       else Map.empty[String, Long]
     val aggKs: Seq[String] =
-      if (edges.columns.contains(Biolink.AggregatorKnowledgeSources))
-        edges.select(explode(col(Biolink.AggregatorKnowledgeSources)).as("ks"))
-          .filter(col("ks").isNotNull).distinct().collect().map(_.getString(0)).toSeq
-      else Nil
+      edgeFacts.collect { case ("aggks", k, _) if k != null => k }.toSeq
     val allKs = (pksCounts.keys.filterNot(_ == "(none)") ++ aggKs).toSet
     val deprecatedKs = infores.deprecated(allKs)
     val invalidKs = infores.invalid(allKs)

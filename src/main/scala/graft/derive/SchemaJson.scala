@@ -38,11 +38,21 @@ object SchemaJson {
       filter(array(nodeAttrCols.map(c =>
         when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull).as("attrs"))
 
-    val prefixCounts = typed.groupBy(col("cats"), col("prefix")).count().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val attrCounts = typed.select(col("cats"), explode(col("attrs")).as("a"))
-      .groupBy(col("cats"), col("a")).count().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ONE aggregation pass for both node fact families (prefix counts +
+    // attribute counts) via tagged (kind, item) rows — formerly two
+    // independent actions, i.e. two full node scans at production scale
+    // item cast to string so empty qualifier/attribute column lists (an
+    // ARRAY<NULL>-typed literal) still unify with the string families
+    def fact(kind: String, item: org.apache.spark.sql.Column) =
+      struct(lit(kind).as("kind"), item.cast("string").as("item"))
+    val nodeFacts = typed.select(col("cats"), explode(concat(
+        array(fact("p", col("prefix"))),
+        transform(col("attrs"), a => fact("a", a)))).as("f"))
+      .groupBy(col("cats"), col("f.kind").as("kind"), col("f.item").as("item"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val prefixCounts = nodeFacts.collect { case (cats, "p", item, n) => (cats, item, n) }
+    val attrCounts = nodeFacts.collect { case (cats, "a", item, n) => (cats, item, n) }
 
     def countMap(node: ObjectNode, name: String, m: Seq[(String, Long)]): Unit = {
       val o = node.putObject(name)
@@ -76,46 +86,51 @@ object SchemaJson {
     val edgeAttrCols = edges.columns.filterNot(c => coreEdgeCols.contains(c) || Biolink.isQualifier(c))
 
     val catsById = typed.select(col("id"), col("cats"))
-    val e = edges
+    // ONE fused aggregation over tagged (kind, item) facts replaces the
+    // former SIX actions over a persisted intermediate (triple counts,
+    // pks/qualifier/attribute maps, subject/object prefix maps): every
+    // edge emits exactly one "pks"/"sp"/"op" fact plus one fact per
+    // present qualifier/attribute, so the per-triple row count is the sum
+    // of its "pks" facts and each family regroups driver-side into the
+    // same maps (incl. the "(none)" null spelling, which the prefix
+    // families deliberately do NOT apply — unchanged from before)
+    val edgeFacts = edges
       .join(catsById.select(col("id").as(Biolink.Subject), col("cats").as("s_cats")), Seq(Biolink.Subject))
       .join(catsById.select(col("id").as(Biolink.Object_), col("cats").as("o_cats")), Seq(Biolink.Object_))
       .select(col("s_cats"), col(Biolink.Predicate).as("p"), col("o_cats"),
-        col(Biolink.PrimaryKnowledgeSource).as("pks"),
-        regexp_extract(col(Biolink.Subject), "^([^:]+):", 1).as("s_prefix"),
-        regexp_extract(col(Biolink.Object_), "^([^:]+):", 1).as("o_prefix"),
-        filter(array(qualifierCols.map(c =>
-          when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull).as("quals"),
-        filter(array(edgeAttrCols.map(c =>
-          when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull).as("attrs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 6 aggregations re-enter
+        explode(concat(
+          array(
+            fact("pks", col(Biolink.PrimaryKnowledgeSource)),
+            fact("sp", regexp_extract(col(Biolink.Subject), "^([^:]+):", 1)),
+            fact("op", regexp_extract(col(Biolink.Object_), "^([^:]+):", 1))),
+          transform(filter(array(qualifierCols.map(c =>
+            when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull),
+            q => fact("q", q)),
+          transform(filter(array(edgeAttrCols.map(c =>
+            when(col(c).isNotNull, lit(c)).otherwise(lit(null))): _*), _.isNotNull),
+            a => fact("at", a)))).as("f"))
+      .groupBy(col("s_cats"), col("p"), col("o_cats"),
+        col("f.kind").as("kind"), col("f.item").as("item"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
 
-    val grouped = e.groupBy(col("s_cats"), col("p"), col("o_cats"))
-      .agg(count(lit(1)).as("n"))
-    // count maps computed in separate tidy aggregations (each one a single
-    // partial+final hash aggregate; collect only at meta cardinality)
-    def keyed(dfCol: String): Array[((String, String, String), Seq[(String, Long)])] =
-      e.select(col("s_cats"), col("p"), col("o_cats"),
-          (if (dfCol == "pks") array(col("pks")) else col(dfCol)).as("items"))
-        .select(col("s_cats"), col("p"), col("o_cats"), explode(col("items")).as("item"))
-        .groupBy(col("s_cats"), col("p"), col("o_cats"), col("item")).count()
-        .collect()
-        .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
-          Option(r.getString(3)).getOrElse("(none)") -> r.getLong(4)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toArray
+    def family(kind: String, noneForNull: Boolean)
+        : Map[(String, String, String), Seq[(String, Long)]] =
+      edgeFacts.collect { case (s, p, o, `kind`, item, n) =>
+        ((s, p, o),
+          (if (noneForNull) Option(item).getOrElse("(none)") else item) -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
-    val pksByKey = keyed("pks").toMap
-    val qualsByKey = keyed("quals").toMap
-    val attrsByKey = keyed("attrs").toMap
-    val sPrefixByKey = e.groupBy(col("s_cats"), col("p"), col("o_cats"), col("s_prefix")).count()
-      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getString(3) -> r.getLong(4)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val oPrefixByKey = e.groupBy(col("s_cats"), col("p"), col("o_cats"), col("o_prefix")).count()
-      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getString(3) -> r.getLong(4)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val pksByKey = family("pks", noneForNull = true)
+    val qualsByKey = family("q", noneForNull = true)
+    val attrsByKey = family("at", noneForNull = true)
+    val sPrefixByKey = family("sp", noneForNull = false)
+    val oPrefixByKey = family("op", noneForNull = false)
 
-    val edgeKeys = grouped.select(col("s_cats"), col("p"), col("o_cats"), col("n")).collect()
-      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
-      .sortBy(_._1)
+    val edgeKeys = pksByKey.toSeq
+      .map { case (key, pks) => (key, pks.map(_._2).sum) }
+      .toArray.sortBy(_._1)
 
     val edgesArr = root.putArray("edges")
     edgeKeys.foreach { case (key @ (sCats, p, oCats), n) =>
@@ -154,7 +169,6 @@ object SchemaJson {
     countMap(summary, "attributes",
       attrsByKey.values.flatten.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq)
 
-    e.unpersist()
     root
   }
 

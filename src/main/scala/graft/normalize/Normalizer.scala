@@ -220,6 +220,20 @@ object Normalizer {
     * wins, like dedup-on-write). */
   def normalizeNodes(rawNodes: DataFrame, nodeMap: DataFrame,
                      strict: Boolean = true): (DataFrame, NodeNormStats) = {
+    val (out, stats, release) = normalizeNodesCached(rawNodes, nodeMap, strict)
+    release() // plain API: stats computed off one materialization, cache dropped
+    (out, stats)
+  }
+
+  /** [[normalizeNodes]] that returns its result PERSISTED
+    * (MEMORY_AND_DISK): the stats pass materializes the map-join +
+    * dropDuplicates once, and every downstream consumer (unconnected-node
+    * filter, parquet write) reuses that one materialization instead of
+    * re-running the join per action — the round-15 JobProfile measured the
+    * node pipeline executing ~3× per source without it. Call the returned
+    * release() once the result is fully consumed. */
+  def normalizeNodesCached(rawNodes: DataFrame, nodeMap: DataFrame,
+                           strict: Boolean = true): (DataFrame, NodeNormStats, () => Unit) = {
     // the reference strips newline characters from every top-level string
     // property of every node, in BOTH modes, BEFORE consulting the
     // normalizer response (orion/normalization.py:235-242 vs :280) —
@@ -283,11 +297,12 @@ object Normalizer {
         m("equivalent_identifiers"),
         m("information_content")) ++ passthrough ++ extra: _*)
       .dropDuplicates("id")
-    val postNorm = out.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postNorm = out.count() // fills the cache
     // failures are REPORTED in both modes (the reference's
     // failed_to_normalize list); only strict also drops the rows
     val failures = nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
-    (out, NodeNormStats(preNorm, postNorm, failures))
+    (out, NodeNormStats(preNorm, postNorm, failures), () => { out.unpersist(); () })
   }
 
   /** The reference's `node_normalization_lookup` in LENIENT mode: the
@@ -318,6 +333,26 @@ object Normalizer {
   def normalizeEdges(edges: DataFrame, nodeMap: DataFrame, predicateMap: DataFrame,
                      defaultProvenance: String,
                      computeStats: Boolean = true): (DataFrame, EdgeNormStats) = {
+    val (out, stats, release) = normalizeEdgesCached(edges, nodeMap, predicateMap,
+      defaultProvenance, computeStats)
+    release() // plain API: stats off one materialization, cache dropped
+    (out, stats)
+  }
+
+  /** [[normalizeEdges]] that returns its result PERSISTED
+    * (MEMORY_AND_DISK) and computes the stats in TWO fused aggregation
+    * passes instead of four independent re-executions of the endpoint
+    * joins (failure count, loop count, splits agg, result count — the
+    * round-15 JobProfile measured the join pipeline running ~5× per source
+    * including the final write). Pass equivalences:
+    *  - failures = sourceEdges − distinct `_src_edge_id` surviving the
+    *    endpoint joins (unchanged set: the rewrite steps are row-preserving);
+    *  - loops ride the same aggregate as a conditional sum;
+    *  - splits = Σ_groups (count−1) = rows − distinct ids of the result.
+    * Call release() once the result is fully consumed. */
+  def normalizeEdgesCached(edges: DataFrame, nodeMap: DataFrame, predicateMap: DataFrame,
+                           defaultProvenance: String,
+                           computeStats: Boolean = true): (DataFrame, EdgeNormStats, () => Unit) = {
     val sourceEdges = if (computeStats) edges.count() else 0L
     val withOrd = edges.withColumn("_src_edge_id", monotonically_increasing_id())
 
@@ -327,8 +362,6 @@ object Normalizer {
     val joined = withOrd
       .join(subjMap, col(Biolink.Subject) === col("_s_orig"))
       .join(objMap, col(Biolink.Object_) === col("_o_orig"))
-    val edgesFailedDueToNodes =
-      if (computeStats) sourceEdges - joined.select("_src_edge_id").distinct().count() else 0L
 
     // J3: broadcast predicate normalization with related_to fallback
     val pm = predicateMap.select(col("orig_predicate"),
@@ -346,23 +379,35 @@ object Normalizer {
       else if (hasPks) coalesce(col(Biolink.PrimaryKnowledgeSource), lit(defaultProvenance))
       else if (hasSources) when(col(Biolink.Sources).isNull, lit(defaultProvenance))
       else lit(defaultProvenance)
-    val rewritten = predApplied
+    val rewritten0 = predApplied
       .withColumn("original_subject", col(Biolink.Subject))
       .withColumn("original_object", col(Biolink.Object_))
       .withColumn(Biolink.Subject, col("_s_norm"))
       .withColumn(Biolink.Object_, col("_o_norm"))
       .withColumn(Biolink.Predicate, col("_norm_pred"))
       .withColumn(Biolink.PrimaryKnowledgeSource, pksCol)
+    // stats mode materializes the endpoint joins exactly once; both stat
+    // aggregates and the result derive from this cache
+    val rewritten =
+      if (computeStats)
+        rewritten0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rewritten0
 
     // N6: subclass self-loop removal (post-normalization ids)
-    val subclassLoopsRemoved =
-      if (!computeStats) 0L
-      else rewritten.filter(
-        col(Biolink.Predicate) === Biolink.SubclassOf &&
-        col(Biolink.Subject) === col(Biolink.Object_)).count()
-    val kept = rewritten.filter(
-      !(col(Biolink.Predicate) === Biolink.SubclassOf &&
-        col(Biolink.Subject) === col(Biolink.Object_)))
+    val loopCond = col(Biolink.Predicate) === Biolink.SubclassOf &&
+      col(Biolink.Subject) === col(Biolink.Object_)
+    // one fused pass over the joined rows: surviving distinct source ids
+    // (→ failure count) + loop rows (the rewrite steps between `joined`
+    // and `rewritten` are row-preserving, so the distinct-id set matches)
+    val (edgesFailedDueToNodes, subclassLoopsRemoved) =
+      if (!computeStats) (0L, 0L)
+      else {
+        val a = rewritten.agg(
+          count_distinct(col("_src_edge_id")).as("ids"),
+          sum(when(loopCond, 1L)).as("loops")).head()
+        (sourceEdges - a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
+      }
+    val kept = rewritten.filter(!loopCond)
 
     // N5: inversion — swap *subject*↔*object* columns where inverted
     val payloadCols = kept.columns.filter(c =>
@@ -375,19 +420,22 @@ object Normalizer {
         val src = swappedName(c)
         (if (payloadCols.contains(src)) col(src) else lit(null)).as(c)
       }: _*)
-    val result = straight.unionByName(inverted)
+    val result0 = straight.unionByName(inverted)
 
     if (!computeStats)
-      (result.drop("_src_edge_id"), EdgeNormStats(0, 0, 0, 0, 0))
+      (result0.drop("_src_edge_id"), EdgeNormStats(0, 0, 0, 0, 0), () => ())
     else {
-      val perSource = result.groupBy(col("_src_edge_id")).count()
-      val edgeSplits = perSource.agg(sum(greatest(col("count") - 1, lit(0)))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+      val result = result0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // second fused pass: result rows + distinct source ids; splits =
+      // Σ_groups (count−1) = rows − distinct ids (identical to the former
+      // per-id groupBy + sum(greatest(count−1, 0)) since every group ≥ 1)
+      val b = result.agg(count(lit(1)).as("n"),
+        count_distinct(col("_src_edge_id")).as("d")).head()
+      rewritten.unpersist() // result is materialized; the join cache served it
       (result.drop("_src_edge_id"),
-        EdgeNormStats(sourceEdges, result.count(), edgeSplits,
-          edgesFailedDueToNodes, subclassLoopsRemoved))
+        EdgeNormStats(sourceEdges, b.getLong(0), b.getLong(0) - b.getLong(1),
+          edgesFailedDueToNodes, subclassLoopsRemoved),
+        () => { result.unpersist(); () })
     }
   }
 }

@@ -28,6 +28,14 @@ object GraphBundle {
     val dir = Paths.get(outDir)
     Files.createDirectories(dir)
 
+    // The finalize tail consumes each frame several times (jsonl write, QC
+    // aggregation, schema aggregation); the inputs are typically
+    // `from_json` views over the merge's cached JSON, so without a persist
+    // every consumer re-parses the JSON per action. One materialization
+    // here serves them all; released before return.
+    nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // bundle files (directory-of-parts layout; the scalable form of K1/K2)
     KgxIO.writeJsonl(nodes, s"$outDir/nodes.jsonl", dedupKeys = Seq("id"), gzip = gzip)
     KgxIO.writeJsonl(edges, s"$outDir/edges.jsonl", dedupKeys = Nil, gzip = gzip)
@@ -81,6 +89,7 @@ object GraphBundle {
     graft.derive.SchemaJson.write(nodes, edges, dir.resolve("schema.json").toString)
 
     BundleResult(outDir, qc.nodeCount, qc.edgeCount, buildVersion)
+    } finally { nodes.unpersist(); edges.unpersist() }
   }
 
   /** O5 — publish: promote a build-version directory to a release-version

@@ -98,6 +98,8 @@ object IngestPipeline {
         Seq(StageResult("cached", Stable.name, s"reused $versionDir")))
     }
     val stages = scala.collection.mutable.ArrayBuffer[StageResult]()
+    // normalization caches to drop once the content-versioned parquet exists
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val (rawNodes, rawEdges) = loader.parse(spark)
     // The parse result is consumed several times below (stage-memo counts,
     // normalization's own pre/post/failure counts, the parquet write) —
@@ -117,15 +119,22 @@ object IngestPipeline {
       case Some(nm) =>
         val pm = loader.predicateNormMap(spark)
           .getOrElse(Normalizer.predicateMapDf(spark, Nil))
-        val (nNodes, nodeStats) = Normalizer.normalizeNodes(rawNodes, nm, loader.strictNormalization)
+        // cached variants: stats + the downstream consumers (unconnected
+        // filter, parquet writes) share ONE materialization of each
+        // normalization pipeline instead of re-running the joins per
+        // action; released in the finally once the parquet is on disk
+        val (nNodes, nodeStats, relN) =
+          Normalizer.normalizeNodesCached(rawNodes, nm, loader.strictNormalization)
+        releases += relN
         // lenient mode: failed nodes are KEPT, so edges referencing them
         // must survive on the original ids — the reference's lookup maps
         // a failed id to itself (orion/normalization.py:299-301)
         val edgeMap =
           if (loader.strictNormalization) nm
           else Normalizer.lenientEdgeMap(rawNodes, nm)
-        val (nEdges, edgeStats) = Normalizer.normalizeEdges(rawEdges, edgeMap, pm,
+        val (nEdges, edgeStats, relE) = Normalizer.normalizeEdgesCached(rawEdges, edgeMap, pm,
           s"infores:${loader.sourceId.toLowerCase}")
+        releases += relE
         val finalNodes =
           if (loader.removeUnconnected) GraphMerger.removeUnconnectedNodes(nNodes, nEdges)
           else nNodes
@@ -149,7 +158,9 @@ object IngestPipeline {
     val outNodes = spark.read.parquet(s"$outDir/nodes.parquet")
     val outEdges = spark.read.parquet(s"$outDir/edges.parquet")
     IngestResult(loader.sourceId, buildVersion, outNodes, outEdges, stages.toSeq)
-    } finally { rawNodes.unpersist(); rawEdges.unpersist() }
+    } finally {
+      rawNodes.unpersist(); rawEdges.unpersist(); releases.foreach(_.apply())
+    }
   }
 
   /** D5 — sequence-variant supplementation stage
