@@ -78,10 +78,18 @@ object FuzzyJoin {
     // 2.1k such names). Verifying map-side first means the exchange only
     // carries TRUE matches; a pair surviving via two segments costs one
     // extra cheap banded check instead of a row in the shuffle.
+    // The banded kernel returns -1 above the bound and the true distance
+    // (necessarily ≤ d) otherwise, so `dist >= 0` alone is the whole
+    // verification — the former `&& dist <= d` conjunct was redundant and,
+    // because filters collapse into the join condition where codegen does
+    // no common-subexpression elimination, it cost a SECOND O(d·len)
+    // levenshtein evaluation per candidate pair (3 total with the output
+    // projection; the r15 before-plan shows all three). One conjunct =
+    // one evaluation per candidate.
     idx.join(probe, Seq("seg_i", "seg_len", "seg"))
       .filter(col("a") =!= col("b"))
       .withColumn("dist", levenshtein(col("a"), col("b"), d))
-      .filter(col("dist") >= 0 && col("dist") <= d)
+      .filter(col("dist") >= 0)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("dist"))
       .distinct()
