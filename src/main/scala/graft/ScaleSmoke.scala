@@ -27,6 +27,16 @@ object ScaleSmoke {
     * MergeEngine path; returns counts + wall seconds. Callable from Bench
     * so the round artifact carries the envelope evidence. */
   def run(spark: org.apache.spark.sql.SparkSession, n: Long): MergeSmokeResult = {
+    // Shuffle-partition count rides the input size (the dedup curve's r13
+    // fix, and the knob a real deployment turns): at the session's fixed
+    // 32 partitions the merge aggregate buffers 50M/32 ≈ 1.6M
+    // (ordinal, json) entries per task — far over the per-task execution
+    // memory at the 8 GiB/32-thread bench envelope — and the round-15
+    // baseline artifact recorded 17.2 GB memory / 2.9 GB disk spill
+    // (`smoke_detail.merge`). ~200k rows/partition keeps the per-task
+    // buffer ~40 MB so the object-hash aggregate stays in memory.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(32L, 2 * n / 200000L).toString)
     def source(offset: Long, tag: String) =
       spark.range(n).select(
         concat(lit("NODE:"), col("id") + offset).as("id"),

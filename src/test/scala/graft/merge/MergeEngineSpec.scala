@@ -226,4 +226,5 @@ class MergeEngineSpec extends SparkSpec {
     assert(a.exists(_.contains("\"first-wins\"")), a.mkString("\n"))
     assert(!a.exists(_.contains("\"name\":\"second\"")))
   }
+
 }
