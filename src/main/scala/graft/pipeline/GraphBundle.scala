@@ -35,12 +35,21 @@ object GraphBundle {
     // here serves them all; released before return.
     nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = nodes.sparkSession.sparkContext
+    def labeled[T](desc: String)(f: => T): T = {
+      sc.setJobDescription(desc) // guide §1.5: attribute the finalize phases
+      try f finally sc.setJobDescription(null)
+    }
     try {
     // bundle files (directory-of-parts layout; the scalable form of K1/K2)
-    KgxIO.writeJsonl(nodes, s"$outDir/nodes.jsonl", dedupKeys = Seq("id"), gzip = gzip)
-    KgxIO.writeJsonl(edges, s"$outDir/edges.jsonl", dedupKeys = Nil, gzip = gzip)
+    labeled("bundle: nodes.jsonl") {
+      KgxIO.writeJsonl(nodes, s"$outDir/nodes.jsonl", dedupKeys = Seq("id"), gzip = gzip)
+    }
+    labeled("bundle: edges.jsonl") {
+      KgxIO.writeJsonl(edges, s"$outDir/edges.jsonl", dedupKeys = Nil, gzip = gzip)
+    }
 
-    val qc = MetaKg.qc(nodes, edges)
+    val qc = labeled("bundle: qc")(MetaKg.qc(nodes, edges))
 
     val srcVersions = spec.sources.map(s => Versioning.sourceBuildVersion(
       s.id, s.sourceVersion.getOrElse("latest"),
@@ -86,7 +95,9 @@ object GraphBundle {
     // schema.json — published format (ref kgx_metadata.py:230-447):
     // leaf-category grouping, per-type prefix/attribute/qualifier counts,
     // node/edge summaries
-    graft.derive.SchemaJson.write(nodes, edges, dir.resolve("schema.json").toString)
+    labeled("bundle: schema.json") {
+      graft.derive.SchemaJson.write(nodes, edges, dir.resolve("schema.json").toString)
+    }
 
     BundleResult(outDir, qc.nodeCount, qc.edgeCount, buildVersion)
     } finally { nodes.unpersist(); edges.unpersist() }

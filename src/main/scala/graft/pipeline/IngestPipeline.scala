@@ -73,6 +73,13 @@ object IngestPipeline {
     Files.writeString(Paths.get(dir, s"$sourceId.meta.json"), meta.toPrettyString)
   }
 
+  /** Label the Spark jobs a phase launches (guide §1.5): thread-local, so
+    * the UI/JobProfile can attribute multi-action pipelines per phase. */
+  private def labeled[T](spark: SparkSession, desc: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** Expected content-hash build version for a loader (pure — computable
     * before any work runs; the memoization key, ref orion/metadata.py:228-239). */
   def expectedBuildVersion(loader: SourceLoader): String =
@@ -112,11 +119,13 @@ object IngestPipeline {
     rawNodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rawEdges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    stages += StageResult("parsing", Stable.name,
-      s"nodes=${rawNodes.count()} edges=${rawEdges.count()}")
+    labeled(spark, s"ingest ${loader.sourceId}: parse + count") {
+      stages += StageResult("parsing", Stable.name,
+        s"nodes=${rawNodes.count()} edges=${rawEdges.count()}")
+    }
 
     val (nodes, edges) = loader.nodeNormMap(spark) match {
-      case Some(nm) =>
+      case Some(nm) => labeled(spark, s"ingest ${loader.sourceId}: normalize") {
         val pm = loader.predicateNormMap(spark)
           .getOrElse(Normalizer.predicateMapDf(spark, Nil))
         // cached variants: stats + the downstream consumers (unconnected
@@ -143,6 +152,7 @@ object IngestPipeline {
           s"edges=${edgeStats.normalizedEdges} splits=${edgeStats.edgeSplits} " +
           s"failed_edges=${edgeStats.edgesFailedDueToNodes} loops=${edgeStats.subclassLoopsRemoved}")
         supplement(spark, loader, finalNodes, nEdges, Some((nm, pm)), stages)
+      }
       case None =>
         stages += StageResult("normalization", Stable.name, "pre-normalized")
         supplement(spark, loader, rawNodes, rawEdges, None, stages)
@@ -151,8 +161,10 @@ object IngestPipeline {
     val buildVersion = buildVersion0
     // materialize under the content-versioned dir + completion marker
     val outDir = s"$storageDir/${loader.sourceId}/$buildVersion"
-    nodes.write.mode("overwrite").parquet(s"$outDir/nodes.parquet")
-    edges.write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    labeled(spark, s"ingest ${loader.sourceId}: versioned parquet") {
+      nodes.write.mode("overwrite").parquet(s"$outDir/nodes.parquet")
+      edges.write.mode("overwrite").parquet(s"$outDir/edges.parquet")
+    }
     writeMeta(outDir, loader.sourceId, buildVersion, stages.toSeq)
     Files.writeString(Paths.get(outDir, "_BUILD_COMPLETE"), buildVersion)
     val outNodes = spark.read.parquet(s"$outDir/nodes.parquet")
@@ -236,12 +248,14 @@ object IngestPipeline {
         GraphMerger.SourceGraph(r.sourceId, r.nodes, r.edges, s.mergeStrategy)
     }
     val counters = Some(MergeEngine.counters(spark))
-    val merged = GraphMerger.mergeGraph(
-      primary = graphs("default"),
-      secondary = graphs("connected_edge_subset"),
-      dontMerge = graphs("dont_merge"),
-      edgeMergingAttributes = spec.edgeMergingAttributes,
-      counters = counters)
+    val merged = labeled(spark, s"merge ${spec.graphId}") {
+      GraphMerger.mergeGraph(
+        primary = graphs("default"),
+        secondary = graphs("connected_edge_subset"),
+        dontMerge = graphs("dont_merge"),
+        edgeMergingAttributes = spec.edgeMergingAttributes,
+        counters = counters)
+    }
     try GraphBundle.finalizeBundle(spec, merged.nodes, merged.edges, outDir)
     finally merged.release() // bundle written — drop the merge caches
   }

@@ -26,8 +26,8 @@ object JobProfile {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))
-            .orElse(Option(p.getProperty("spark.job.description"))))
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
           .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(60)))
           .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
