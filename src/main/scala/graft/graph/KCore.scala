@@ -38,11 +38,17 @@ object KCore {
       // dst-semi first, src-semi LAST: the final join leaves the surviving
       // edge list hash-partitioned on `src`, which the next round's
       // groupBy(src) and src-side semi-join reuse without an exchange
+      // lazy localCheckpoint = the same materialization the persist gave
+      // (the count below fills it) PLUS plan truncation: with persist the
+      // plan composed every peel round and each action re-ran analysis
+      // over the whole history (the q74 finding — O(rounds²) planning).
+      // checkpoint preserves the physical partitioning, so the
+      // src-partitioned round structure (see comment above) survives.
       val next = und
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
-        .persist()
+        .localCheckpoint(eager = false)
       next.count() // materialize off the parent before dropping it
       und.unpersist()
       und = next

@@ -39,18 +39,27 @@ object LabelPropagation {
       val nbrMin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("node"))
         .agg(min(col("lbl")).as("nbr"))
+      // lazy localCheckpoint = the persist's materialization (the count
+      // fills it) PLUS per-superstep plan truncation (the q74 finding —
+      // with persist each action re-analyzed the whole iteration history)
       val next = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(eager = false)
       next.count() // materialize off the parent before dropping it
       labels.unpersist()
       labels = next
     }
-    // cut lineage while the last generation is cached, then release both
-    val out = labels.localCheckpoint()
-    labels.unpersist()
     und.unpersist()
-    out
+    if (iterations <= 0) {
+      // zero supersteps: labels is still the persisted seed — cut lineage
+      // and release it like the pre-loop shape always did
+      val out = labels.localCheckpoint()
+      labels.unpersist()
+      out
+    } else
+      // the last generation is already checkpoint-materialized (its count
+      // above) — a second localCheckpoint here would copy the blocks
+      labels
   }
 }

@@ -71,12 +71,24 @@ object PageRank {
         .join(ranks, annotated("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      // LAZY localCheckpoint instead of persist: same MEMORY_AND_DISK
+      // materialization (filled by the danglingOf action below), but the
+      // returned frame is a LogicalRDD — the logical plan STOPS GROWING
+      // per iteration. With persist the final ranks' plan composed every
+      // iteration's joins (~5 MB formatted at 20 iterations, 478
+      // SortMergeJoin nodes) and every action re-ran analysis over it:
+      // O(k²) planning across the run, paid again by every consumer of
+      // the result. Cost of the trade: superseded generations' blocks are
+      // released by the ContextCleaner on GC rather than eagerly (the
+      // explicit unpersist below is a no-op for checkpointed frames), and
+      // recovery after executor loss re-runs from the checkpoint like
+      // [[Bfs.collapse]]'s localCheckpoint fallback.
       val next = flagged.join(contribs, Seq("node"), "left_outer")
         .select(col("node"), col("has_out"),
           (lit((1 - d) / n) +
             lit(d) * (coalesce(col("inflow"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
-        .persist()
+        .localCheckpoint(eager = false)
       // single action: caches every partition of `next` AND returns the
       // next iteration's dangling mass (unused after the last round)
       dangling = danglingOf(next)

@@ -39,19 +39,28 @@ object ShortestPaths {
     for (_ <- 1 to rounds) {
       // aliases: dist derives from e after round 1, so the self-join
       // needs explicit sides (the Bfs ambiguity note)
+      // lazy localCheckpoint = the persist's materialization (the count
+      // fills it) PLUS per-round plan truncation (the q74 finding — with
+      // persist each action re-analyzed the whole relaxation history)
       val relaxed = dist.alias("d")
         .join(e.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"), (col("d.dist") + col("e.w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .persist()
-      relaxed.count() // materialize off the persisted parent before dropping it
+        .localCheckpoint(eager = false)
+      relaxed.count() // materialize off the parent before dropping it
       dist.unpersist()
       dist = relaxed
     }
-    val out = dist.localCheckpoint()
-    dist.unpersist()
     e.unpersist()
-    out
+    if (rounds <= 0) {
+      // zero rounds: dist is still the persisted seed — cut lineage and
+      // release it like the pre-loop shape always did
+      val out = dist.localCheckpoint()
+      dist.unpersist()
+      out
+    } else
+      // the last round is already checkpoint-materialized by its count
+      dist
   }
 }

@@ -41,18 +41,24 @@ object Walks {
         lit(1000003L))
       val w = Window.partitionBy(col("start"))
         .orderBy(score.asc_nulls_last, col("dst").asc_nulls_last)
+      // lazy localCheckpoint = the persist's materialization (the count
+      // fills it) PLUS per-hop plan truncation (the q74 finding — with
+      // persist each action re-analyzed the whole hop history)
       walks = walks.join(e, col("cur") === col("src"), "left_outer")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .withColumn(s"hop$i", col("dst"))
         .withColumn("cur", col("dst"))
         .drop("src", "dst", "rn")
-        .persist()
+        .localCheckpoint(eager = false)
       walks.count() // materialize off the previous step before it drops
       prev.foreach(_.unpersist())
       prev = Some(walks)
     }
-    val out = walks.drop("cur").localCheckpoint()
+    // the last hop is already checkpoint-materialized; steps == 0 keeps
+    // the cheap seed projection, checkpointed for a stable return shape
+    val out = if (steps <= 0) walks.drop("cur").localCheckpoint()
+              else walks.drop("cur")
     prev.foreach(_.unpersist())
     e.unpersist()
     out
