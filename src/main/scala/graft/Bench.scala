@@ -83,6 +83,20 @@ object Bench {
         .map(r => f"graph_curve 4x ratio $r%.2f > $graphCurve4xMaxRatio%.0f"))
   }
 
+  /** No-clobber rule (4): true when the on-disk artifact is clean, full,
+    * and records a `bench_cpus` different from this run's parallelism.
+    * The driver re-runs the bench at a lower SPARK_GRAFT_CPUS to measure
+    * scaling; such a run must never displace the canonical-core-count
+    * artifact (in r15 a clean 8-core run silently replaced the 32-core
+    * bench.json — the old `cpus` field recorded max(availableProcessors,
+    * benchCpus) and could not tell the two apart). Artifacts predating
+    * the field are indistinguishable, so the rule fires only when the
+    * on-disk artifact carries `bench_cpus`. */
+  private[graft] def crossCoreClobber(existing: String, benchCpus: Int): Boolean =
+    existing.contains("\"contaminated\":false") &&
+      existing.contains("\"partial\":false") &&
+      jsonNum(existing, "bench_cpus").exists(_.toInt != benchCpus)
+
   /** First 12 hex of sha-256 over src/main/scala (sorted paths + bytes):
     * the artifact's "same code" witness for the no-clobber rule. Git
     * HEAD is NOT used — the driver commits round artifacts between the
@@ -275,9 +289,20 @@ object Bench {
       // cross-referencing the chronological probe_sec array needed)
       val dProbes = dedupCurve.map(p => f"${p._2}%.3f").mkString(",")
       val gProbes = graphCurve.map(p => f"${p._5}%.3f").mkString(",")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head._1},"dedup_curve_sec":[${dedupCurve.map(_._1).mkString(",")}],"dedup_curve_probe_sec":[$dProbes],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_probe_sec":[$gProbes],"graph_curve_ops":$gOps,"smoke_detail":$smokeDetailJson,"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"code_fingerprint":"$codeFp","contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"max":$maxs,"stat":$stats,"errors":$errors,"robokop_build_sec":$buildSec,"dedup_smoke_sec":${dedupCurve.head._1},"dedup_curve_sec":[${dedupCurve.map(_._1).mkString(",")}],"dedup_curve_probe_sec":[$dProbes],"winnow_smoke_sec":$winnowSec,"substring_smoke_sec":$substringSec,"merge_smoke_sec":${mergeSmoke._1},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[$gc],"graph_curve_probe_sec":[$gProbes],"graph_curve_ops":$gOps,"smoke_detail":$smokeDetailJson,"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_sec":[${probes.map(p => f"$p%.3f").mkString(",")}],"probe_spread":${f"$probeSpread%.3f"},"cpus":$cpus,"bench_cpus":$benchCpus,"code_fingerprint":"$codeFp","contaminated":$contaminated,"partial":$partial,"sf":"$sfDir"}"""
     }
     def writeArtifact(json: String): Unit = {
+      // The candidate is ALWAYS written verbatim to <benchOut minus
+      // extension>_last_run.json first — a fixed secondary path the
+      // no-clobber rules below never divert — so the driver's PERF
+      // pipeline has one unambiguous machine-readable location for the
+      // full per-query map of THIS run (r15's per_query/scaling tables
+      // came up empty because the canonical artifact had been diverted
+      // to .rejected and the stdout line carries only the slowest 30).
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(benchOut.stripSuffix(".json") + "_last_run.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
       // No-clobber rules (BASELINE.md refused-artifacts ledger):
       //  (1) a clean, full artifact on disk is never overwritten by a
       //      contaminated or partial one — the driver's post-commit bench
@@ -291,9 +316,19 @@ object Bench {
       //      same-code pin breach is environment, not regression, and
       //      must not displace the cleaner measurement;
       //  (3) a clean run whose smokes CRASHED (non-empty smoke_errors)
-      //      never displaces a clean artifact whose smokes all ran.
+      //      never displaces a clean artifact whose smokes all ran;
+      //  (4) a run at a DIFFERENT core count than a clean full on-disk
+      //      artifact is diverted regardless of its own cleanliness —
+      //      the driver legitimately re-runs the bench at a lower
+      //      SPARK_GRAFT_CPUS to measure scaling, and in r15 its clean
+      //      8-core run silently replaced the 32-core artifact (the old
+      //      `cpus` field recorded max(availableProcessors, benchCpus),
+      //      making the two indistinguishable). `bench_cpus` now records
+      //      the session's actual parallelism; artifacts predating the
+      //      field can't be distinguished, so the rule only fires when
+      //      the on-disk artifact carries it.
       // The rejected candidate is still written — to <benchOut>.rejected —
-      // so nothing is lost.
+      // so nothing is lost (and bench_last_run.json above always has it).
       val path = java.nio.file.Paths.get(benchOut)
       val candidateDirty =
         json.contains("\"contaminated\":true") || json.contains("\"partial\":true")
@@ -309,8 +344,13 @@ object Bench {
           s"writing this $why run to $benchOut.rejected instead")
         java.nio.file.Paths.get(benchOut + ".rejected")
       }
+      // rule (4): cross-core-count overwrite — checked first because it
+      // applies to clean AND dirty candidates alike
       val target =
-        if (candidateDirty && existingCleanFull)
+        if (crossCoreClobber(existing, benchCpus))
+          divert(s"cross-core-count (bench_cpus $benchCpus vs on-disk " +
+            s"${jsonNum(existing, "bench_cpus").get.toInt})")
+        else if (candidateDirty && existingCleanFull)
           divert(if (json.contains("\"partial\":true")) "partial" else "contaminated")
         else if (!candidateDirty && existingCleanFull) {
           val sameCode = codeFp != "unknown" &&
@@ -471,7 +511,7 @@ object Bench {
       .map { case (k, med, _, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head._1)},"dedup_curve_sec":[${dedupCurve.map(d => r3(d._1)).mkString(",")}],"dedup_curve_probe_sec":[${dedupCurve.map(d => r3(d._2)).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"graph_curve_probe_sec":[${graphCurve.map(g => r3(g._5)).mkString(",")}],"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"code_fingerprint":"$codeFp","contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"queries_n":${results.size},"queries_file":"$benchOut","errors":$errors,"robokop_build_sec":${r3(buildSec)},"dedup_smoke_sec":${r3(dedupCurve.head._1)},"dedup_curve_sec":[${dedupCurve.map(d => r3(d._1)).mkString(",")}],"dedup_curve_probe_sec":[${dedupCurve.map(d => r3(d._2)).mkString(",")}],"winnow_smoke_sec":${r3(winnowSmokeSec)},"substring_smoke_sec":${r3(substringSmokeSec)},"merge_smoke_sec":${r3(mergeSmoke._1)},"merge_smoke_rows":{"input":${mergeSmoke._2},"distinct":${mergeSmoke._3},"merged":${mergeSmoke._4}},"graph_curve_sec":[${graphCurve.map(g => r3(g._1)).mkString(",")}],"graph_curve_probe_sec":[${graphCurve.map(g => r3(g._5)).mkString(",")}],"smoke_errors":$smokeErrorsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"probe_spread":${r3(probeSpread)},"cpus":$cpus,"bench_cpus":$benchCpus,"code_fingerprint":"$codeFp","contaminated":$contaminated,"partial":false,"sf":"$sfDir"}"""
     println(compact)
     if (smokeSpark != null) smokeSpark.stop()
   }

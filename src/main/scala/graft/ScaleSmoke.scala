@@ -35,26 +35,31 @@ object ScaleSmoke {
     // baseline artifact recorded 17.2 GB memory / 2.9 GB disk spill
     // (`smoke_detail.merge`). ~200k rows/partition keeps the per-task
     // buffer ~40 MB so the object-hash aggregate stays in memory.
+    // restored in the finally: Bench gives each smoke a throwaway session,
+    // but any other caller's session must not silently keep the scaled count
+    val priorPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(32L, 2 * n / 200000L).toString)
-    def source(offset: Long, tag: String) =
-      spark.range(n).select(
-        concat(lit("NODE:"), col("id") + offset).as("id"),
-        concat(lit("Node "), col("id") + offset).as("name"),
-        array(lit("biolink:NamedThing")).as("category"),
-        array(concat(lit(tag), col("id") % 1000)).as("synonyms"))
+    try {
+      def source(offset: Long, tag: String) =
+        spark.range(n).select(
+          concat(lit("NODE:"), col("id") + offset).as("id"),
+          concat(lit("Node "), col("id") + offset).as("name"),
+          array(lit("biolink:NamedThing")).as("category"),
+          array(concat(lit(tag), col("id") % 1000)).as("synonyms"))
 
-    // 50% overlap between the two sources
-    val a = source(0, "a")
-    val b = source(n / 2, "b")
-    val unioned = MergeEngine.withOrdinal(Seq(a, b))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+      // 50% overlap between the two sources
+      val a = source(0, "a")
+      val b = source(n / 2, "b")
+      val unioned = MergeEngine.withOrdinal(Seq(a, b))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
-    val t0 = System.nanoTime()
-    val merged = MergeEngine.mergeNodes(unioned)
-    val stats = merged.agg(count(lit(1)).as("n"), sum("nMerged").as("merged")).head()
-    val secs = (System.nanoTime() - t0) / 1e9
-    MergeSmokeResult(2 * n, stats.getLong(0), stats.getLong(1), secs)
+      val t0 = System.nanoTime()
+      val merged = MergeEngine.mergeNodes(unioned)
+      val stats = merged.agg(count(lit(1)).as("n"), sum("nMerged").as("merged")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      MergeSmokeResult(2 * n, stats.getLong(0), stats.getLong(1), secs)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", priorPartitions)
   }
 
   def main(args: Array[String]): Unit = {

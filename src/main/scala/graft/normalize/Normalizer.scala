@@ -298,10 +298,16 @@ object Normalizer {
         m("information_content")) ++ passthrough ++ extra: _*)
       .dropDuplicates("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postNorm = out.count() // fills the cache
-    // failures are REPORTED in both modes (the reference's
-    // failed_to_normalize list); only strict also drops the rows
-    val failures = nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
+    // a throwing stats action must not leak the persist — the caller only
+    // registers release() after this returns
+    val (postNorm, failures) =
+      try {
+        val p = out.count() // fills the cache
+        // failures are REPORTED in both modes (the reference's
+        // failed_to_normalize list); only strict also drops the rows
+        val f = nodes.join(m, nodes("id") === m("orig_id"), "left_anti").count()
+        (p, f)
+      } catch { case t: Throwable => out.unpersist(); throw t }
     (out, NodeNormStats(preNorm, postNorm, failures), () => { out.unpersist(); () })
   }
 
@@ -401,11 +407,13 @@ object Normalizer {
     // and `rewritten` are row-preserving, so the distinct-id set matches)
     val (edgesFailedDueToNodes, subclassLoopsRemoved) =
       if (!computeStats) (0L, 0L)
-      else {
+      else try {
         val a = rewritten.agg(
           count_distinct(col("_src_edge_id")).as("ids"),
           sum(when(loopCond, 1L)).as("loops")).head()
         (sourceEdges - a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
+      } catch { // a throwing action must not leak the persist
+        case t: Throwable => rewritten.unpersist(); throw t
       }
     val kept = rewritten.filter(!loopCond)
 
@@ -429,8 +437,12 @@ object Normalizer {
       // second fused pass: result rows + distinct source ids; splits =
       // Σ_groups (count−1) = rows − distinct ids (identical to the former
       // per-id groupBy + sum(greatest(count−1, 0)) since every group ≥ 1)
-      val b = result.agg(count(lit(1)).as("n"),
-        count_distinct(col("_src_edge_id")).as("d")).head()
+      val b =
+        try result.agg(count(lit(1)).as("n"),
+          count_distinct(col("_src_edge_id")).as("d")).head()
+        catch { // a throwing action must not leak either persist
+          case t: Throwable => result.unpersist(); rewritten.unpersist(); throw t
+        }
       rewritten.unpersist() // result is materialized; the join cache served it
       (result.drop("_src_edge_id"),
         EdgeNormStats(sourceEdges, b.getLong(0), b.getLong(0) - b.getLong(1),

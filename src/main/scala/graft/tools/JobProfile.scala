@@ -10,6 +10,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfIdx = args.indexOf("-sf")
+    if (sfIdx >= 0 && sfIdx + 1 >= args.length) {
+      System.err.println("usage: runMain graft.tools.JobProfile <name>... [-sf <dir>]")
+      sys.exit(2)
+    }
     val sfDir = if (sfIdx >= 0) args(sfIdx + 1) else "/root/testdata/sf0.1"
     val names = (if (sfIdx >= 0) args.patch(sfIdx, Nil, 2) else args).toSeq
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -60,6 +60,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.smokesCrashed("""{"smoke_errors":{},"robokop_build_sec":-1.0,"dedup_curve_sec":[18.0,32.0,62.0,120.0],"substring_smoke_sec":27.0,"winnow_smoke_sec":15.0,"merge_smoke_sec":32.0}"""))
   }
 
+  test("crossCoreClobber: a different-core run never displaces a clean full artifact") {
+    val disk32 = """{"value":150.0,"cpus":32,"bench_cpus":32,""" +
+      """"contaminated":false,"partial":false}"""
+    // the r15 failure mode: a clean 8-core driver run over a 32-core artifact
+    assert(Bench.crossCoreClobber(disk32, 8))
+    // same core count writes normally
+    assert(!Bench.crossCoreClobber(disk32, 32))
+    // a dirty or partial on-disk artifact never blocks (cleaner rules decide)
+    val dirty = """{"value":150.0,"bench_cpus":32,"contaminated":true,"partial":false}"""
+    assert(!Bench.crossCoreClobber(dirty, 8))
+    // artifacts predating bench_cpus are indistinguishable — rule stays off
+    val legacy = """{"value":150.0,"cpus":32,"contaminated":false,"partial":false}"""
+    assert(!Bench.crossCoreClobber(legacy, 8))
+  }
+
   test("codeFingerprint is stable within a run and tracks the source tree") {
     val a = Bench.codeFingerprint()
     assert(a != "unknown") // tests run from the repo root
