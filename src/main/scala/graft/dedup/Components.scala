@@ -42,7 +42,11 @@ object Components {
 
     val nEdges = ee.count()
     if (nEdges == 0) return ee.select(col("u").as("id"), col("v").as("component"))
-    if (nEdges <= driverThreshold) return unionFind(ee)
+    if (nEdges <= driverThreshold) {
+      val out = unionFind(ee) // collects ee to the driver eagerly
+      graft.Lineage.release(ee)
+      return out
+    }
 
     var converged = false
     var iter = 0
@@ -73,6 +77,9 @@ object Components {
       // safe) and equal ⇔ same distinct edge set
       val sig = ss.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
         .as[(Long, Option[Long])].first() match { case (c, h) => (c, h.getOrElse(0L)) }
+      // the superseded round is dead once ss is materialized (eager
+      // checkpoint above) — free its blocks now rather than on GC
+      graft.Lineage.release(ee)
       ee = ss
       converged = sig == lastSig
       lastSig = sig

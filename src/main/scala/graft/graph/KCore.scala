@@ -44,19 +44,23 @@ object KCore {
       // over the whole history (the q74 finding — O(rounds²) planning).
       // checkpoint preserves the physical partitioning, so the
       // src-partitioned round structure (see comment above) survives.
+      // Trade: a local checkpoint is NOT recomputable — losing an
+      // executor that holds its blocks fails the job.
       val next = und
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(eager = false)
       next.count() // materialize off the parent before dropping it
-      und.unpersist()
+      // eager block release of the superseded generation (plain unpersist
+      // is a no-op once und is a checkpointed frame)
+      graft.Lineage.release(und)
       und = next
     }
     val out = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    und.unpersist()
+    graft.Lineage.release(und)
     out
   }
 }

@@ -41,13 +41,17 @@ object LabelPropagation {
         .agg(min(col("lbl")).as("nbr"))
       // lazy localCheckpoint = the persist's materialization (the count
       // fills it) PLUS per-superstep plan truncation (the q74 finding —
-      // with persist each action re-analyzed the whole iteration history)
+      // with persist each action re-analyzed the whole iteration history).
+      // Trade: a local checkpoint is NOT recomputable — losing an
+      // executor that holds its blocks fails the job.
       val next = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
       next.count() // materialize off the parent before dropping it
-      labels.unpersist()
+      // eager block release of the superseded generation (plain unpersist
+      // is a no-op once labels is a checkpointed frame)
+      graft.Lineage.release(labels)
       labels = next
     }
     und.unpersist()

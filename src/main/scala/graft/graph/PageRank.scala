@@ -78,11 +78,10 @@ object PageRank {
       // iteration's joins (~5 MB formatted at 20 iterations, 478
       // SortMergeJoin nodes) and every action re-ran analysis over it:
       // O(k²) planning across the run, paid again by every consumer of
-      // the result. Cost of the trade: superseded generations' blocks are
-      // released by the ContextCleaner on GC rather than eagerly (the
-      // explicit unpersist below is a no-op for checkpointed frames), and
-      // recovery after executor loss re-runs from the checkpoint like
-      // [[Bfs.collapse]]'s localCheckpoint fallback.
+      // the result. Cost of the trade: a local checkpoint is NOT
+      // recomputable — losing an executor that holds its blocks fails
+      // the job (plan truncation traded for fault tolerance, same
+      // contract as [[Bfs.collapse]]'s localCheckpoint fallback).
       val next = flagged.join(contribs, Seq("node"), "left_outer")
         .select(col("node"), col("has_out"),
           (lit((1 - d) / n) +
@@ -90,9 +89,13 @@ object PageRank {
             .as("rank"))
         .localCheckpoint(eager = false)
       // single action: caches every partition of `next` AND returns the
-      // next iteration's dangling mass (unused after the last round)
+      // next iteration's dangling mass (unused after the last round).
+      // The superseded generation is then freed EAGERLY (plain unpersist
+      // is a no-op for checkpointed frames, so without this, blocks for
+      // dead generations accumulate until driver GC + ContextCleaner —
+      // peak storage grew with the iteration budget).
       dangling = danglingOf(next)
-      ranks.unpersist()
+      graft.Lineage.release(ranks)
       ranks = next
     }
     annotated.unpersist()

@@ -41,7 +41,9 @@ object ShortestPaths {
       // needs explicit sides (the Bfs ambiguity note)
       // lazy localCheckpoint = the persist's materialization (the count
       // fills it) PLUS per-round plan truncation (the q74 finding — with
-      // persist each action re-analyzed the whole relaxation history)
+      // persist each action re-analyzed the whole relaxation history).
+      // Trade: a local checkpoint is NOT recomputable — losing an
+      // executor that holds its blocks fails the job.
       val relaxed = dist.alias("d")
         .join(e.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"), (col("d.dist") + col("e.w")).as("dist"))
@@ -49,7 +51,9 @@ object ShortestPaths {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = false)
       relaxed.count() // materialize off the parent before dropping it
-      dist.unpersist()
+      // eager block release of the superseded generation (plain unpersist
+      // is a no-op once dist is a checkpointed frame)
+      graft.Lineage.release(dist)
       dist = relaxed
     }
     e.unpersist()

@@ -43,7 +43,9 @@ object Walks {
         .orderBy(score.asc_nulls_last, col("dst").asc_nulls_last)
       // lazy localCheckpoint = the persist's materialization (the count
       // fills it) PLUS per-hop plan truncation (the q74 finding — with
-      // persist each action re-analyzed the whole hop history)
+      // persist each action re-analyzed the whole hop history).
+      // Trade: a local checkpoint is NOT recomputable — losing an
+      // executor that holds its blocks fails the job.
       walks = walks.join(e, col("cur") === col("src"), "left_outer")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -52,7 +54,10 @@ object Walks {
         .drop("src", "dst", "rn")
         .localCheckpoint(eager = false)
       walks.count() // materialize off the previous step before it drops
-      prev.foreach(_.unpersist())
+      // eager block release of the superseded hop (plain unpersist is a
+      // no-op for checkpointed frames). The LAST hop is NOT released —
+      // `out` below is a projection over its checkpointed blocks.
+      prev.foreach(graft.Lineage.release)
       prev = Some(walks)
     }
     // the last hop is already checkpoint-materialized; steps == 0 keeps

@@ -33,6 +33,23 @@ class ComponentsSpec extends SparkSpec {
     assert(dist(201L) == 200L)
   }
 
+  test("both paths eagerly free superseded checkpoint blocks") {
+    import spark.implicits._
+    // the contraction loop checkpoints every round (and the driver path
+    // checkpoints its canonical edge set); superseded generations must be
+    // freed eagerly, not left for GC + ContextCleaner (r15 ADVICE finding)
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = persisted()
+    assert(Components.connectedComponents(chain, driverThreshold = 0L).count() == 41)
+    assert(Components.connectedComponents(chain).count() == 41)
+    // at most the distributed path's final round survives (the caller may
+    // still read it); the driver path releases everything. Suites share
+    // this SparkContext concurrently — delta bound, not exact count.
+    assert(persisted() - before <= 1,
+      s"superseded rounds not freed: $before -> ${persisted()}")
+  }
+
   test("canonicalize marks non-canonical members as duplicates") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 99L).toDF("id")

@@ -49,6 +49,30 @@ class GraphAlgoSpec extends SparkSpec {
     assert(persisted() - before <= 6, s"cached RDDs grew: $before -> ${persisted()}")
   }
 
+  test("iterative loops eagerly free superseded checkpoint generations") {
+    // localCheckpoint made the per-iteration unpersist() a no-op (a
+    // checkpointed frame is not in the cache manager), so every superseded
+    // generation's blocks used to stay resident until driver GC +
+    // ContextCleaner — peak storage grew with the iteration budget (the
+    // r15 ADVICE finding). Lineage.release frees the underlying RDD
+    // eagerly: after each run below, only the FINAL generation may remain.
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val seeds = Seq("a").toDF("node")
+    val before = persisted()
+    assert(PageRank.run(edges, iterations = 6).count() == 6)
+    assert(KCore.run(edges, k = 1, rounds = 4).count() == 6)
+    assert(LabelPropagation.run(edges, iterations = 5).count() == 6)
+    assert(ShortestPaths.run(edges.withColumn("w", lit(1L)), seeds, rounds = 5)
+      .count() == 4)
+    assert(Walks.run(edges, seeds, steps = 4,
+      n => pmod(xxhash64(n), lit(1000003L))).count() == 1)
+    // 5 runs × ≥4 iterations would strand ≥20 generations in the old
+    // shape; now at most the 5 final results remain pending GC (suites
+    // share this SparkContext concurrently — delta, not exact count)
+    assert(persisted() - before <= 5,
+      s"superseded generations not freed: $before -> ${persisted()}")
+  }
+
   test("bfs reach/closure use a RELIABLE checkpoint when a dir is configured") {
     // with a checkpoint dir the collapsed result must be written there
     // (survives executor loss — the localCheckpoint fallback doesn't),
